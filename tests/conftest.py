@@ -7,15 +7,24 @@ same mesh/sharding code paths compile and execute on 8 host-platform devices
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment pre-sets jax_platforms to prefer the tunneled TPU; the env
+# var alone is not enough — force the config before any backend initializes,
+# otherwise every eager op round-trips through the TPU tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert jax.device_count() == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture
