@@ -1,0 +1,115 @@
+"""Training runners (reference ``run/train_model.py``).
+
+- :func:`run_training` — file-path API used by the CLI: train on explicit
+  tomogram/label files, export a distributable ``.model`` artifact.
+- :func:`run_trainer` — config API used by experiments: splits CSV
+  datamodule, experiment dirs, weights export, optional resume.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+from cryovit_tpu.composer import DotDict
+from cryovit_tpu.config import compose, validate_experiment_config
+from cryovit_tpu.run.common import (
+    build_datamodule,
+    build_file_datamodule,
+    build_model,
+    build_trainer,
+    setup_exp_dir,
+)
+from cryovit_tpu.train.checkpoint import load_model, load_weights, save_model, save_weights
+from cryovit_tpu.types import ModelType
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["run_training", "run_trainer"]
+
+
+def run_training(
+    train_data: list[Path],
+    train_labels: list[Path],
+    labels: list[str],
+    label_key: str,
+    model_name: str,
+    result_dir: Path,
+    val_data: list[Path] | None = None,
+    val_labels: list[Path] | None = None,
+    model_type: str = "cryovit",
+    num_epochs: int = 50,
+    ckpt_path: Path | None = None,
+    log_training: bool = False,
+    **overrides: object,
+) -> Path:
+    """Train a model on explicit file paths and export ``<name>.model``
+    (reference ``run/train_model.py:24-153``)."""
+    result_dir = Path(result_dir)
+    result_dir.mkdir(parents=True, exist_ok=True)
+
+    ov = [
+        f"model={model_type}",
+        "datamodule=file",
+        f"label_key={label_key}",
+        f"trainer.max_epochs={num_epochs}",
+        f"name={model_name}",
+        f"paths.exp_dir={result_dir}",
+    ] + [f"{k}={v}" for k, v in overrides.items()]
+    cfg = compose("train_model", ov)
+    if not log_training:
+        cfg["logger"] = DotDict()
+
+    datamodule = build_file_datamodule(
+        cfg,
+        data_paths=train_data,
+        data_labels=train_labels,
+        val_paths=val_data,
+        val_labels=val_labels,
+        labels=labels,
+    )
+
+    variables = None
+    if ckpt_path is not None:
+        suffix = Path(ckpt_path).suffix
+        if suffix == ".model":
+            model, variables, *_ = load_model(ckpt_path)
+            logger.info("fine-tuning from %s", ckpt_path)
+        else:
+            variables = load_weights(ckpt_path)
+            model = build_model(cfg, cfg.trainer.get("precision"))
+    else:
+        model = build_model(cfg, cfg.trainer.get("precision"))
+
+    trainer = build_trainer(cfg)
+    state = trainer.fit(model, datamodule, variables=variables)
+
+    out_path = result_dir / f"{model_name}.model"
+    save_model(model_name, label_key, model, state.params, cfg.model, out_path)
+    logger.info("saved model artifact to %s", out_path)
+    return out_path
+
+
+def run_trainer(cfg: DotDict):
+    """Experiment-mode training (reference ``run/train_model.py:206-312``):
+    seed, experiment dir, splits datamodule, fit, save ``weights.msgpack``."""
+    validate_experiment_config(cfg)
+    exp_dir = setup_exp_dir(cfg)
+    datamodule = build_datamodule(cfg)
+    model = build_model(cfg, cfg.trainer.get("precision"))
+
+    trainer = build_trainer(cfg)
+    trainer.default_root_dir = exp_dir
+    if cfg.get("resume_ckpt"):
+        trainer.enable_checkpointing = True
+
+    ckpt = exp_dir / "last.ckpt"
+    state = trainer.fit(
+        model,
+        datamodule,
+        ckpt_path=ckpt if cfg.get("resume_ckpt") and ckpt.exists() else None,
+    )
+
+    save_weights(exp_dir / "weights.msgpack", state.params)
+    logger.info("saved weights to %s", exp_dir / "weights.msgpack")
+    return exp_dir

@@ -1,0 +1,157 @@
+"""Checkpointing and the distributable ``.model`` artifact.
+
+Parity target: reference three formats (SURVEY.md §5.4):
+
+1. resumable training checkpoints (Lightning ``last.ckpt``) → orbax
+   pytree checkpoints of the full TrainState,
+2. raw ``weights.pt`` state-dicts → flax msgpack ``weights.msgpack``,
+3. the distributable ``.model`` pickle (``SavedModel`` with name, type,
+   label_key, model config, weights — reference ``utils.py:335-468``) →
+   same dataclass, weights serialized with flax msgpack inside the pickle
+   so the artifact is framework-portable and torch-free.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+from cryovit_tpu.composer import instantiate, to_plain
+from cryovit_tpu.types import ModelType
+
+__all__ = [
+    "SavedModel",
+    "save_model",
+    "save_model_from_weights",
+    "load_model",
+    "save_checkpoint",
+    "restore_checkpoint",
+    "save_weights",
+    "load_weights",
+]
+
+
+@dataclasses.dataclass
+class SavedModel:
+    """Distributable model artifact (reference ``utils.py:335-351``)."""
+
+    name: str
+    model_type: ModelType
+    label_key: str
+    model_cfg: dict[str, Any]
+    weights: bytes  # flax msgpack of the variables pytree
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_model(
+    model_name: str,
+    label_key: str,
+    model,
+    variables,
+    model_cfg: dict[str, Any],
+    save_path: str | Path,
+) -> None:
+    """Pickle a :class:`SavedModel` (reference ``utils.py:354-381``)."""
+    artifact = SavedModel(
+        name=model_name,
+        model_type=model.model_type,
+        label_key=label_key,
+        model_cfg=to_plain(model_cfg),
+        weights=serialization.to_bytes(_to_host(variables)),
+    )
+    save_path = Path(save_path)
+    save_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(save_path, "wb") as f:
+        pickle.dump(artifact, f)
+
+
+def save_model_from_weights(
+    model_name: str,
+    label_key: str,
+    model_type: ModelType,
+    weights_path: str | Path,
+    save_path: str | Path,
+    **overrides: Any,
+) -> None:
+    """Build a ``.model`` artifact from a raw weights file
+    (reference ``utils.py:384-428``). ``overrides`` use ``a__b`` for nested
+    config keys."""
+    from cryovit_tpu.config import compose
+
+    weights_path = Path(weights_path)
+    if not weights_path.exists():
+        raise FileNotFoundError(f"Weights file {weights_path} does not exist.")
+    ov = [f"model.{k.replace('__', '.')}={v}" for k, v in overrides.items()]
+    cfg = compose(
+        "infer_model",
+        [f"model={model_type.value}", f"label_key={label_key}"] + ov,
+    )
+    model = instantiate(cfg.model)
+    variables = load_weights(weights_path, template=None)
+    save_model(model_name, label_key, model, variables, cfg.model, save_path)
+
+
+def load_model(
+    model_path: str | Path, load_weights_flag: bool = True
+) -> tuple[Any, Any, ModelType, str, str]:
+    """Load a ``.model`` artifact (reference ``utils.py:431-468``).
+
+    Returns ``(model, variables, model_type, name, label_key)``; model and
+    variables are None when ``load_weights_flag`` is False.
+    """
+    model_path = Path(model_path)
+    if not model_path.exists():
+        raise FileNotFoundError(f"Model file {model_path} does not exist.")
+    with open(model_path, "rb") as f:
+        artifact: SavedModel = pickle.load(f)
+    model, variables = None, None
+    if load_weights_flag:
+        model = instantiate(artifact.model_cfg)
+        variables = serialization.msgpack_restore(artifact.weights)
+    return model, variables, artifact.model_type, artifact.name, artifact.label_key
+
+
+# ---- raw weights (state-dict equivalent) ---------------------------------
+
+def save_weights(path: str | Path, variables) -> None:
+    """msgpack the variables pytree (reference ``weights.pt`` role)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(_to_host(variables)))
+
+
+def load_weights(path: str | Path, template=None):
+    data = Path(path).read_bytes()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    return serialization.msgpack_restore(data)
+
+
+# ---- resumable training checkpoints --------------------------------------
+
+def save_checkpoint(path: str | Path, state: dict[str, Any]) -> None:
+    """Save a full training state pytree (params/opt/epoch) via orbax."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(path, _to_host(state), force=True)
+
+
+def restore_checkpoint(path: str | Path, template: dict[str, Any] | None = None):
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    ckpt = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckpt.restore(path, args=ocp.args.PyTreeRestore(_to_host(template)))
+    return ckpt.restore(path)
