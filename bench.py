@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark: DINOv2 ViT-g/14 feature extraction throughput (slices/sec/chip).
+
+Measures the jit-compiled extraction pipeline (bicubic 14/16 resize + folded
+single-channel patch embed + 40-block ViT-g with Pallas flash attention +
+fp16 cast) on 512×512 tomogram slices — the reference's hot loop
+(``run/dino_features.py:31-64``, batch 128 on one A100, SURVEY §3.3).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares per-chip throughput against the estimated reference
+PyTorch pipeline on its actual hardware (1× A100, ``slurm_scripts/*.sh``):
+ViT-g ≈ 2.5 TFLOP per 1029-token 448×448 slice; A100 ≈ 312 TFLOP/s bf16 at
+~25% end-to-end MFU (per-batch fp16→CPU transfers, no fusion) ≈ 31
+slices/sec. The repo publishes no measured numbers (BASELINE.md), so this
+documented estimate is the stand-in. A v5e-8 runs 8 of these chips
+data-parallel over ICI (slices are independent), so whole-pod throughput is
+~8× the per-chip value reported here.
+
+Measured reference point (2026-08-16, TPU v5e single chip, this code):
+~32 slices/sec/chip with flash attention (≈41% MFU); XLA attention reaches
+~20 slices/sec — the Pallas kernel is a 1.6× end-to-end win.
+"""
+
+import json
+import sys
+import time
+
+A100_REFERENCE_SLICES_PER_SEC = 31.0
+
+
+def main() -> None:
+    import jax
+
+    # persistent compile cache: first-ever run pays full compilation,
+    # subsequent bench runs on this machine start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cryovit_tpu.models.dinov2 import DinoV2Config
+    from cryovit_tpu.run.dino_features import DinoExtractor, load_dinov2_variables
+
+    batch = 64
+    side = 512  # raw slice side (multiple of 16) → 448×448 after 14/16
+    n_batches = 8
+
+    cfg = DinoV2Config.giant()
+    variables, _ = load_dinov2_variables("", random_init=True, cfg=cfg)
+    # bf16 params: halves HBM traffic for the weight streams
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
+    )
+    extractor = DinoExtractor(variables, cfg=cfg, batch_size=batch)
+
+    rng = np.random.default_rng(0)
+    stack = rng.random((batch, side, side)).astype(np.float32)
+
+    fn = extractor._batch_fn(side, side)
+    dev = jnp.asarray(stack)
+    fn(extractor.variables, dev).block_until_ready()  # compile + warmup
+
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = fn(extractor.variables, dev)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.local_device_count()
+    slices_per_sec = batch * n_batches / dt
+    per_chip = slices_per_sec / max(n_chips, 1)
+    print(
+        json.dumps(
+            {
+                "metric": "dinov2_vitg14_extraction_throughput",
+                "value": round(per_chip, 2),
+                "unit": "slices/sec/chip (512x512 slices)",
+                "vs_baseline": round(per_chip / A100_REFERENCE_SLICES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,295 @@
+"""DINOv2 feature extraction — the performance-critical path.
+
+Parity target: reference ``run/dino_features.py`` (``_dino_features`` slice
+loop 31-64, ``_save_data`` layout 109-153, ``_process_sample`` 156-205,
+``run_dino`` CLI 210-298, ``run_trainer`` experiment driver 304-350).
+
+TPU-native design (the BASELINE.json north star):
+- the whole per-batch pipeline — bicubic 14/16 resize (matmul), folded
+  single-channel patch embed, 40 ViT blocks with Pallas flash attention,
+  final LN, fp16 cast — is ONE jit-compiled XLA program; the host only
+  feeds padded uint8→f32 slices and receives fp16 feature tiles,
+- slice batches are independent → pure data parallelism: with a mesh the
+  batch axis shards across chips over ICI,
+- double buffering comes free from JAX async dispatch: the next batch's
+  host→device transfer overlaps the current batch's compute,
+- fp16 conversion happens on device, halving D2H traffic.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from pathlib import Path
+from typing import Iterable
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cryovit_tpu.composer import DotDict
+from cryovit_tpu.config import compose, samples as ALL_SAMPLES, tomogram_exts, validate_dino_config
+from cryovit_tpu.data.transforms import pad_slices_to_multiple
+from cryovit_tpu.models.dinov2 import DinoV2Config, convert_torch_state_dict, make_dinov2
+from cryovit_tpu.ops.resize import bicubic_resize_matrix
+from cryovit_tpu.parallel.mesh import batch_sharding, make_mesh
+from cryovit_tpu.types import FileData
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["DinoExtractor", "load_dinov2_variables", "run_dino", "run_trainer", "save_feature_hdf"]
+
+WEIGHTS_FILENAME = "dinov2_vitg14_reg.msgpack"
+DINO_PATCH = 14
+
+
+def load_dinov2_variables(
+    model_dir: str | Path, random_init: bool = False, cfg: DinoV2Config | None = None
+):
+    """Load converted DINOv2 weights from ``model_dir`` (see
+    ``tools/convert_dinov2.py``), or random-init for benchmarking."""
+    cfg = cfg or DinoV2Config.giant()
+    if random_init:
+        logger.warning("using RANDOM DINOv2 weights (benchmark mode)")
+        model = make_dinov2(cfg, use_flash_attention=False)
+        probe = jnp.zeros((1, 2 * cfg.patch_size, 2 * cfg.patch_size))
+        return jax.jit(model.init)(jax.random.key(0), probe), True
+    path = Path(model_dir) / WEIGHTS_FILENAME
+    if not path.exists():
+        raise FileNotFoundError(
+            f"DINOv2 weights not found at {path}. Convert the torch hub "
+            f"checkpoint once with: python tools/convert_dinov2.py "
+            f"--torch-weights <dinov2_vitg14_reg4_pretrain.pth> --out {path}"
+        )
+    from flax.serialization import msgpack_restore
+
+    return msgpack_restore(path.read_bytes()), False
+
+
+class DinoExtractor:
+    """Jit-compiled slice-batch feature extractor with bucketing.
+
+    One compiled program per (batch, H, W) bucket; the tail batch pads up
+    to ``batch_size`` and slices off. Output layout matches the reference
+    file format: ``(1536, D, H/16, W/16)`` fp16.
+    """
+
+    def __init__(
+        self,
+        variables,
+        cfg: DinoV2Config | None = None,
+        batch_size: int = 128,
+        mesh=None,
+        use_flash_attention: bool | None = None,
+    ) -> None:
+        self.cfg = cfg or DinoV2Config.giant()
+        self.module = make_dinov2(self.cfg, use_flash_attention=use_flash_attention)
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.sharding = batch_sharding(mesh) if mesh is not None else None
+        if self.sharding is not None:
+            from cryovit_tpu.parallel.mesh import replicate
+
+            variables = replicate(variables, mesh)
+        else:
+            variables = jax.device_put(variables)
+        self.variables = variables
+        self._fns: dict = {}
+
+    def _batch_fn(self, h: int, w: int):
+        key = (h, w)
+        if key in self._fns:
+            return self._fns[key]
+        out_h = h // 16 * DINO_PATCH
+        out_w = w // 16 * DINO_PATCH
+        gh, gw = h // 16, w // 16
+        rh = bicubic_resize_matrix(h, out_h)
+        rw = bicubic_resize_matrix(w, out_w)
+
+        @partial(jax.jit, out_shardings=self.sharding)
+        def fn(variables, slices):  # (B, H, W) f32 in [0,1]
+            x = jnp.einsum("oh,bhw->bow", rh, slices)
+            x = jnp.einsum("pw,bow->bop", rw, x)
+            feats = self.module.apply(variables, x)  # (B, gh·gw, C)
+            feats = feats.reshape(-1, gh, gw, self.cfg.embed_dim)
+            return feats.astype(jnp.float16)
+
+        self._fns[key] = fn
+        return fn
+
+    def extract(self, stack: np.ndarray) -> np.ndarray:
+        """``(D, H, W)`` f32 padded-to-16 slice stack → ``(C, D, gh, gw)``
+        fp16 features (reference ``_dino_features`` output layout)."""
+        d, h, w = stack.shape
+        fn = self._batch_fn(h, w)
+        bs = self.batch_size
+        outs = []
+        for i in range(0, d, bs):
+            batch = stack[i : i + bs]
+            n = batch.shape[0]
+            if n < bs:  # pad the tail to keep one compiled shape
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - n, h, w), dtype=batch.dtype)]
+                )
+            dev = (
+                jax.device_put(jnp.asarray(batch), self.sharding)
+                if self.sharding is not None
+                else jnp.asarray(batch)
+            )
+            outs.append((fn(self.variables, dev), n))
+        parts = [np.asarray(feats)[:n] for feats, n in outs]
+        feats = np.concatenate(parts, axis=0)  # (D, gh, gw, C)
+        return np.ascontiguousarray(np.moveaxis(feats, -1, 0))
+
+
+def save_feature_hdf(
+    source: dict[str, np.ndarray],
+    features: np.ndarray | dict,
+    tomo_name: str,
+    dst_dir: Path,
+) -> Path:
+    """Write the training-ready HDF5 (reference ``_save_data:109-153``):
+    gzip ``data`` + ``labels/<k>`` copied from the source, ``dino_features``
+    fp16 uncompressed (or ``sam_features/<key>/<i>`` pyramids)."""
+    dst_dir = Path(dst_dir)
+    dst_dir.mkdir(parents=True, exist_ok=True)
+    path = dst_dir / tomo_name
+    with h5py.File(path, "w") as f:
+        for key, arr in source.items():
+            if key == "data":
+                f.create_dataset("data", data=arr, compression="gzip")
+            elif key in ("dino_features",):
+                continue
+            else:
+                f.create_dataset(f"labels/{key}", data=arr, compression="gzip")
+        if isinstance(features, dict):
+            if "dino_features" in source:
+                f.create_dataset(
+                    "dino_features", data=source["dino_features"], compression="gzip"
+                )
+            for key, feats in features.items():
+                for i, feat in enumerate(feats):
+                    f.create_dataset(f"sam_features/{key}/{i}", data=feat)
+        else:
+            f.create_dataset("dino_features", data=features)
+    return path
+
+
+def _read_source(path: Path) -> dict[str, np.ndarray]:
+    """Flat dict of all datasets (labels group flattened to bare names),
+    mirroring the reference's source-copy walk."""
+    out: dict[str, np.ndarray] = {}
+    with h5py.File(path, "r") as f:
+        for key in f:
+            item = f[key]
+            if isinstance(item, h5py.Group):
+                for sub in item:
+                    out[sub] = np.asarray(item[sub][()])
+            else:
+                out[key] = np.asarray(item[()])
+    return out
+
+
+# ---- CLI path -------------------------------------------------------------
+
+def run_dino(
+    train_data: list[Path],
+    result_dir: Path,
+    batch_size: int = 64,
+    use_sam: bool = False,
+    visualize: bool = False,
+    random_init: bool = False,
+    dino_cfg: DinoV2Config | None = None,
+) -> list[Path]:
+    """Extract features for explicit tomogram files → ``result_dir/<stem>.hdf``
+    (reference ``run_dino:210-298``)."""
+    from cryovit_tpu.data.datasets import FileDataset
+
+    assert len(train_data) > 0, "No valid tomogram files found."
+    if use_sam:
+        raise NotImplementedError(
+            "SAM2 feature extraction lands with the SAM2 model family."
+        )
+    cfg = compose("dino_features", [f"batch_size={batch_size}"])
+    variables, _ = load_dinov2_variables(
+        cfg.model_dir, random_init=random_init, cfg=dino_cfg
+    )
+    extractor = DinoExtractor(variables, cfg=dino_cfg, batch_size=batch_size)
+
+    files = [FileData(tomo_path=Path(f)) for f in train_data]
+    dataset = FileDataset(files, input_key=None, label_key=None, for_dino=True)
+
+    written = []
+    for i in range(len(dataset)):
+        item = dataset[i]
+        stack = item.data[..., 0]  # (D, H16, W16)
+        features = extractor.extract(stack)
+        out_path = Path(result_dir) / f"{Path(train_data[i]).stem}.hdf"
+        save_feature_hdf(
+            {"data": item.aux_data["data"]}, features, out_path.name, out_path.parent
+        )
+        written.append(out_path)
+        logger.info("wrote %s (%s)", out_path, features.shape)
+        if visualize:
+            _maybe_export_pca(
+                item.aux_data["data"], features, out_path.stem,
+                Path(result_dir) / "dino_images" / out_path.stem,
+            )
+    return written
+
+
+# ---- experiment path ------------------------------------------------------
+
+def run_trainer(cfg: DotDict, dino_cfg: DinoV2Config | None = None) -> None:
+    """Per-sample feature extraction sweep (reference ``run_trainer:304-350``):
+    src = ``data_dir/<feature_name>/<sample>`` (annotated tomograms), dst =
+    ``data_dir/<tomo_name>/<sample>`` (training-ready files)."""
+    validate_dino_config(cfg)
+    data_dir = Path(cfg.paths.data_dir)
+    src_dir = data_dir / cfg.paths.feature_name
+    dst_dir = data_dir / cfg.paths.tomo_name
+    csv_dir = data_dir / cfg.paths.csv_name
+    image_dir = Path(cfg.paths.exp_dir) / "dino_images"
+
+    sample_names = (
+        [cfg.sample] if cfg.get("sample") else [s for s in ALL_SAMPLES if (src_dir / s).exists()]
+    )
+    variables, _ = load_dinov2_variables(
+        cfg.model_dir, random_init=bool(cfg.get("random_init", False)), cfg=dino_cfg
+    )
+    extractor = DinoExtractor(variables, cfg=dino_cfg, batch_size=int(cfg.batch_size))
+
+    for sample in sample_names:
+        tomo_dir = src_dir / sample
+        csv_file = csv_dir / f"{sample}.csv"
+        if csv_file.exists():
+            names = pd.read_csv(csv_file)["tomo_name"].to_list()
+        else:
+            names = sorted(
+                f.name for f in tomo_dir.glob("*") if f.suffix in tomogram_exts
+            )
+        for name in names:
+            source = _read_source(tomo_dir / name)
+            data = source["data"]
+            stack = (
+                data.astype(np.float32) / 255.0 if data.dtype == np.uint8 else data.astype(np.float32)
+            )
+            stack = pad_slices_to_multiple(stack)
+            features = extractor.extract(stack)
+            save_feature_hdf(source, features, name, dst_dir / sample)
+            logger.info("[%s] %s → %s", sample, name, features.shape)
+            if cfg.get("export_features"):
+                _maybe_export_pca(
+                    data, features, Path(name).stem, image_dir / sample
+                )
+
+
+def _maybe_export_pca(data, features, name, out_dir) -> None:
+    try:
+        from cryovit_tpu.visualization.dino_pca import export_pca
+
+        export_pca(data, np.asarray(features, dtype=np.float32), name, out_dir)
+    except ImportError:
+        logger.warning("visualization module unavailable; skipping PCA export")

@@ -1,0 +1,246 @@
+"""Parity tests: flash attention vs XLA oracle; flax DINOv2 vs a torch
+clone of the DINOv2 architecture through weight conversion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cryovit_tpu.models.dinov2 import (
+    DinoV2,
+    DinoV2Config,
+    convert_torch_state_dict,
+    fold_patch_embed,
+    interpolate_pos_embed,
+)
+from cryovit_tpu.ops.flash_attention import attention_reference, flash_attention
+
+torch = pytest.importorskip("torch")
+
+
+# ---- flash attention ------------------------------------------------------
+
+@pytest.mark.parametrize("n", [64, 200, 333])
+def test_flash_attention_matches_reference(rng, n):
+    b, h, d = 2, 3, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    ref = attention_reference(q, k, v)
+    out = flash_attention(
+        q, k, v, block_q=128, block_k=128, dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_attention_reference_matches_torch(rng):
+    b, n, h, d = 1, 37, 2, 16
+    q = rng.standard_normal((b, n, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, n, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, n, h, d)).astype(np.float32)
+    ours = attention_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    tq, tk, tv = (torch.from_numpy(x).permute(0, 2, 1, 3) for x in (q, k, v))
+    ref = torch.nn.functional.scaled_dot_product_attention(tq, tk, tv)
+    ref = ref.permute(0, 2, 1, 3).numpy()
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+# ---- torch DINOv2 clone ---------------------------------------------------
+
+class TorchSwiGLU(torch.nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.w12 = torch.nn.Linear(dim, 2 * hidden)
+        self.w3 = torch.nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        x1, x2 = self.w12(x).chunk(2, dim=-1)
+        return self.w3(torch.nn.functional.silu(x1) * x2)
+
+
+class TorchLayerScale(torch.nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.gamma = torch.nn.Parameter(torch.randn(dim) * 0.1)
+
+    def forward(self, x):
+        return x * self.gamma
+
+
+class TorchAttention(torch.nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.qkv = torch.nn.Linear(dim, 3 * dim)
+        self.proj = torch.nn.Linear(dim, dim)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        qkv = self.qkv(x).reshape(B, N, 3, self.heads, C // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+        out = torch.nn.functional.scaled_dot_product_attention(q, k, v)
+        return self.proj(out.transpose(1, 2).reshape(B, N, C))
+
+
+class TorchBlock(torch.nn.Module):
+    def __init__(self, dim, heads, hidden):
+        super().__init__()
+        self.norm1 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.attn = TorchAttention(dim, heads)
+        self.ls1 = TorchLayerScale(dim)
+        self.norm2 = torch.nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = TorchSwiGLU(dim, hidden)
+        self.ls2 = TorchLayerScale(dim)
+
+    def forward(self, x):
+        x = x + self.ls1(self.attn(self.norm1(x)))
+        return x + self.ls2(self.mlp(self.norm2(x)))
+
+
+class TorchDino(torch.nn.Module):
+    """Structural clone of DINOv2-with-registers for conversion testing."""
+
+    def __init__(self, cfg: DinoV2Config):
+        super().__init__()
+        self.cfg = cfg
+        E, P = cfg.embed_dim, cfg.patch_size
+        self.patch_embed = torch.nn.Module()
+        self.patch_embed.proj = torch.nn.Conv2d(3, E, P, stride=P)
+        self.cls_token = torch.nn.Parameter(torch.randn(1, 1, E) * 0.02)
+        self.register_tokens = torch.nn.Parameter(
+            torch.randn(1, cfg.num_registers, E) * 0.02
+        )
+        self.pos_embed = torch.nn.Parameter(
+            torch.randn(1, 1 + cfg.pos_grid**2, E) * 0.02
+        )
+        self.blocks = torch.nn.ModuleList(
+            [TorchBlock(E, cfg.num_heads, cfg.ffn_hidden) for _ in range(cfg.depth)]
+        )
+        self.norm = torch.nn.LayerNorm(E, eps=1e-6)
+
+    def interpolate_pos(self, gh, gw):
+        m = self.cfg.pos_grid
+        cls_pos = self.pos_embed[:, :1]
+        patch_pos = self.pos_embed[:, 1:].reshape(1, m, m, -1).permute(0, 3, 1, 2)
+        if (gh, gw) != (m, m):
+            patch_pos = torch.nn.functional.interpolate(
+                patch_pos,
+                scale_factor=((gh + 0.1) / m, (gw + 0.1) / m),
+                mode="bicubic",
+            )
+        patch_pos = patch_pos.permute(0, 2, 3, 1).reshape(1, gh * gw, -1)
+        return torch.cat([cls_pos, patch_pos], dim=1)
+
+    def forward(self, x):  # x: (B, 3, H, W)
+        B, _, H, W = x.shape
+        P = self.cfg.patch_size
+        gh, gw = H // P, W // P
+        t = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        t = torch.cat([self.cls_token.expand(B, -1, -1), t], dim=1)
+        t = t + self.interpolate_pos(gh, gw)
+        t = torch.cat(
+            [t[:, :1], self.register_tokens.expand(B, -1, -1), t[:, 1:]], dim=1
+        )
+        for blk in self.blocks:
+            t = blk(t)
+        t = self.norm(t)
+        return t[:, 1 + self.cfg.num_registers :]
+
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@pytest.mark.parametrize("normalize", [True, False])
+@pytest.mark.parametrize("grid", [(4, 4), (3, 5)])
+def test_dinov2_parity_with_torch_clone(rng, normalize, grid):
+    cfg = DinoV2Config.tiny_test()
+    tmodel = TorchDino(cfg).eval()
+    gh, gw = grid
+    h, w = gh * cfg.patch_size, gw * cfg.patch_size
+    gray = rng.random((2, h, w)).astype(np.float32)
+
+    # torch path: replicate to RGB (+ optional ImageNet normalize)
+    x3 = np.repeat(gray[:, None], 3, axis=1)
+    if normalize:
+        x3 = (x3 - np.asarray(IMAGENET_MEAN)[None, :, None, None]) / np.asarray(
+            IMAGENET_STD
+        )[None, :, None, None]
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(x3.astype(np.float32))).numpy()
+
+    # flax path: raw grayscale + folded patch embed
+    variables = convert_torch_state_dict(tmodel.state_dict(), cfg, normalize=normalize)
+    fmodel = DinoV2(cfg=cfg, dtype=jnp.float32)
+    out = fmodel.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(gray)
+    )
+    assert out.shape == (2, gh * gw, cfg.embed_dim)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4)
+
+
+def test_pos_embed_identity_when_grid_matches(rng):
+    cfg = DinoV2Config.tiny_test()
+    pe = jnp.asarray(rng.standard_normal((1 + cfg.pos_grid**2, 8)), dtype=jnp.float32)
+    out = interpolate_pos_embed(pe, (cfg.pos_grid, cfg.pos_grid), cfg.pos_grid)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(pe), atol=1e-6)
+
+
+def test_fold_patch_embed_math(rng):
+    E, P = 6, 14
+    w = rng.standard_normal((E, 3, P, P)).astype(np.float32)
+    b = rng.standard_normal(E).astype(np.float32)
+    gray = rng.random((P, P)).astype(np.float32)
+
+    kernel, bias = fold_patch_embed(w, b, normalize=True)
+    ours = gray.reshape(-1) @ kernel + bias
+
+    x3 = np.repeat(gray[None], 3, axis=0)
+    x3 = (x3 - np.asarray(IMAGENET_MEAN)[:, None, None]) / np.asarray(IMAGENET_STD)[
+        :, None, None
+    ]
+    ref = (w.reshape(E, -1) @ x3.reshape(-1)) + b
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_dinov2_bf16_close_to_f32(rng):
+    cfg = DinoV2Config.tiny_test()
+    gray = jnp.asarray(rng.random((1, 56, 56)), dtype=jnp.float32)
+    model32 = DinoV2(cfg=cfg, dtype=jnp.float32)
+    variables = model32.init(jax.random.key(0), gray)
+    out32 = model32.apply(variables, gray)
+    out16 = DinoV2(cfg=cfg, dtype=jnp.bfloat16).apply(variables, gray)
+    # bf16 compute should stay within ~1% relative error of f32
+    rel = np.abs(np.asarray(out16) - np.asarray(out32)) / (
+        np.abs(np.asarray(out32)) + 1e-3
+    )
+    assert float(rel.mean()) < 0.02
+
+
+def test_scan_blocks_matches_loop(rng):
+    """scan-over-blocks must be numerically identical to the unrolled loop."""
+    from cryovit_tpu.models.dinov2 import convert_torch_state_dict
+
+    cfg = DinoV2Config.tiny_test()
+    tmodel = TorchDino(cfg).eval()
+    gray = jnp.asarray(rng.random((1, 56, 70)), dtype=jnp.float32)
+
+    loop_vars = convert_torch_state_dict(tmodel.state_dict(), cfg, scan_blocks=False)
+    scan_vars = convert_torch_state_dict(tmodel.state_dict(), cfg, scan_blocks=True)
+    out_loop = DinoV2(cfg=cfg, dtype=jnp.float32).apply(
+        jax.tree_util.tree_map(jnp.asarray, loop_vars), gray
+    )
+    out_scan = DinoV2(cfg=cfg, dtype=jnp.float32, scan_blocks=True).apply(
+        jax.tree_util.tree_map(jnp.asarray, scan_vars), gray
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_scan), np.asarray(out_loop), atol=1e-5
+    )
+
+
+def test_scan_init_structure():
+    cfg = DinoV2Config.tiny_test()
+    model = DinoV2(cfg=cfg, dtype=jnp.float32, scan_blocks=True)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 28, 28)))
+    qkv = variables["params"]["blocks"]["attn"]["qkv"]["kernel"]
+    assert qkv.shape[0] == cfg.depth  # stacked on depth axis
