@@ -96,3 +96,31 @@ def test_run_trainer_experiment_sweep(tmp_path, rng, tiny_variables, monkeypatch
         assert "mito" in f["labels"]
     # t1 not in csv → not processed
     assert not (data_dir / "tomograms" / "AD" / "t1.hdf").exists()
+
+
+def test_fused_pipeline_matches_two_step(tiny_variables, rng):
+    """Fused raw→probs must equal extract-features-then-decode (within fp16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cryovit_tpu.models.cryovit import CryoVITModule
+    from cryovit_tpu.models.fused import FusedDinoCryoVIT
+
+    cfg, dino_vars = tiny_variables
+    stack = rng.random((5, 32, 32)).astype(np.float32)
+
+    # two-step: extract (fp16 file dtype) then decode
+    extractor = DinoExtractor(dino_vars, cfg=cfg, batch_size=4)
+    feats = extractor.extract(stack)  # (C, D, gh, gw) fp16
+    feats_cl = np.moveaxis(feats.astype(np.float32), 0, -1)[None]
+    decoder = CryoVITModule(dtype=jnp.float32)
+    # tiny embed dim ≠ 1536 — decoder projects whatever C it gets
+    dec_vars = decoder.init(jax.random.key(1), jnp.asarray(feats_cl))
+    two_step = decoder.apply(dec_vars, jnp.asarray(feats_cl))[0]
+
+    fused = FusedDinoCryoVIT(
+        dino_vars, dec_vars, dino_cfg=cfg, dtype=jnp.float32, slice_batch=2
+    )
+    out = fused.segment(stack)
+    assert out.shape == two_step.shape == (5, 32, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(two_step), atol=5e-3)
