@@ -95,21 +95,19 @@ class BaseModel:
         self, y_pred: jnp.ndarray, y_true: jnp.ndarray, mask: jnp.ndarray
     ) -> dict[str, jnp.ndarray]:
         """Evaluate all losses and sum into ``total`` (reference
-        ``base_model.py:114-119``)."""
-        out = {
-            fn.name if hasattr(fn, "name") else key: fn(y_pred, y_true, mask)
-            for key, fn in self.losses.items()
-        }
+        ``base_model.py:114-119``). Keys are the config names (``dice_loss``)
+        — they flow into the metrics CSVs, so they must match the reference
+        column names."""
+        out = {key: fn(y_pred, y_true, mask) for key, fn in self.losses.items()}
         out["total"] = sum(out.values())
         return out
 
     def compute_metrics(
         self, y_pred: jnp.ndarray, y_true: jnp.ndarray, mask: jnp.ndarray
     ) -> dict[str, jnp.ndarray]:
-        return {
-            fn.name if hasattr(fn, "name") else key: fn(y_pred, y_true, mask)
-            for key, fn in self.metrics.items()
-        }
+        """Metric keys are config names (``dice_metric``/``f1_metric``),
+        matching the reference CSV columns (``callbacks.py:145-206``)."""
+        return {key: fn(y_pred, y_true, mask) for key, fn in self.metrics.items()}
 
     # ---- optimizer -------------------------------------------------------
 

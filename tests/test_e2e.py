@@ -81,7 +81,7 @@ def test_experiment_train_then_eval_cryovit(experiment_env, tmp_path):
     results = eval_trainer(eval_cfg)
     assert len(results) == 4  # all Young tomograms
     for r in results:
-        assert 0.0 <= r.metrics["DiceMetric"] <= 1.0
+        assert 0.0 <= r.metrics["dice_metric"] <= 1.0
         assert r.preds[0].shape == (4, 32, 32)  # unpadded to true shape
 
     # CsvWriter output: per-sample CSV with replace-on-rerun
@@ -90,7 +90,7 @@ def test_experiment_train_then_eval_cryovit(experiment_env, tmp_path):
     assert len(csvs) == 1
     df = pd.read_csv(csvs[0])
     assert len(df) == 4
-    assert {"sample", "tomo_name", "DiceMetric", "F1Metric"} <= set(df.columns)
+    assert {"sample", "tomo_name", "dice_metric", "f1_metric"} <= set(df.columns)
 
     # TestPredictionWriter output layout
     pred_dir = tmp_path / "results" / "predictions" / str(eval_cfg.name)
