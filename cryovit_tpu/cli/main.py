@@ -89,20 +89,26 @@ def main(argv: list[str] | None = None) -> int:
     from cryovit_tpu.io import load_files_from_path
 
     if args.command == "features":
-        from cryovit_tpu.run.dino_features import run_dino
-
         tomo_path = Path(args.tomograms)
         assert tomo_path.exists(), "Tomograms path does not exist."
         result = Path(args.result_folder)
         result.mkdir(parents=True, exist_ok=True)
-        run_dino(
-            load_files_from_path(tomo_path),
-            result,
-            batch_size=args.batch_size,
-            use_sam=args.use_sam,
-            visualize=args.visualize,
-            random_init=args.random_init,
-        )
+        files = load_files_from_path(tomo_path)
+        if args.use_sam:
+            from cryovit_tpu.run.sam_features import run_sam
+
+            run_sam(files, result, batch_size=args.batch_size,
+                    random_init=args.random_init)
+        else:
+            from cryovit_tpu.run.dino_features import run_dino
+
+            run_dino(
+                files,
+                result,
+                batch_size=args.batch_size,
+                visualize=args.visualize,
+                random_init=args.random_init,
+            )
         return 0
 
     if args.command == "train":

@@ -7,6 +7,7 @@ from flax import linen as nn
 from cryovit_tpu.models import losses, metrics
 from cryovit_tpu.models.base import BaseModel, prediction_mask
 from cryovit_tpu.models.cryovit import CryoVITModule
+from cryovit_tpu.models.sam2.family import SAM2
 from cryovit_tpu.models.unet3d import PAD_MULTIPLE, UNet3DModule
 from cryovit_tpu.types import ModelType
 
@@ -14,6 +15,7 @@ __all__ = [
     "BaseModel",
     "CryoVIT",
     "UNet3D",
+    "SAM2",
     "CryoVITModule",
     "UNet3DModule",
     "PAD_MULTIPLE",

@@ -86,18 +86,29 @@ class BaseModel:
         """Forward pass: ``(B, D, H, W, C)`` → probabilities ``(B, D, H, W)``."""
         return self.module.apply(variables, data)
 
+    def apply_with_aux(
+        self, variables: Any, data: jnp.ndarray
+    ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+        """Forward pass returning (probs, aux outputs). Aux outputs feed
+        model-specific loss terms (e.g. SAM2's prompt mask loss)."""
+        return self.apply(variables, data), {}
+
     def param_count(self, variables: Any) -> int:
         return sum(p.size for p in jax.tree_util.tree_leaves(variables))
 
     # ---- losses / metrics ----------------------------------------------
 
     def compute_losses(
-        self, y_pred: jnp.ndarray, y_true: jnp.ndarray, mask: jnp.ndarray
+        self,
+        y_pred: jnp.ndarray,
+        y_true: jnp.ndarray,
+        mask: jnp.ndarray,
+        aux: dict[str, jnp.ndarray] | None = None,
     ) -> dict[str, jnp.ndarray]:
         """Evaluate all losses and sum into ``total`` (reference
         ``base_model.py:114-119``). Keys are the config names (``dice_loss``)
         — they flow into the metrics CSVs, so they must match the reference
-        column names."""
+        column names. ``aux`` carries model-specific extra outputs."""
         out = {key: fn(y_pred, y_true, mask) for key, fn in self.losses.items()}
         out["total"] = sum(out.values())
         return out

@@ -1,0 +1,156 @@
+"""SAM2 / MedSAM model-family wrapper (config-instantiable).
+
+Parity target: reference ``SAM2`` Lightning wrapper (``models/sam2.py:48-315``):
+- separate ``prompt_lr`` parameter group for the PromptPredictor,
+- frozen image encoder / prompt encoder / memory modules / decoder base,
+  trainable LoRA adapters + prompt predictor + SAM2-level embeddings,
+- prompt mask loss (dice on predicted dense prompts) added to the total,
+- input resized to 512², depth truncated at ``MAX_SAM_DEPTH``,
+  outputs upsampled back,
+- optional cached-feature path (``use_cache_features``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import linen as nn
+
+from cryovit_tpu.models.base import BaseModel
+from cryovit_tpu.models.losses import dice_loss
+from cryovit_tpu.models.sam2.config import SAM2Config
+from cryovit_tpu.models.sam2.model import SAM2Model
+from cryovit_tpu.types import ModelType
+
+__all__ = ["SAM2", "MAX_SAM_DEPTH"]
+
+MAX_SAM_DEPTH = 255  # reference models/sam2.py:41
+
+_FROZEN_ROOTS = (
+    "image_encoder",
+    "prompt_encoder",
+    "memory_encoder",
+    "memory_attention",
+)
+
+
+class _SAM2Forward(nn.Module):
+    """Resize → track → upsample wrapper module around SAM2Model."""
+
+    cfg: SAM2Config
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, data: jnp.ndarray) -> dict[str, jnp.ndarray]:
+        # data: (B, D, H, W, 1) voxel volumes in [0, 1]
+        b, d, h, w = data.shape[:4]
+        s = self.cfg.image_size
+        x = data[..., 0]
+        if d > MAX_SAM_DEPTH:
+            x = x[:, :MAX_SAM_DEPTH]
+            d = MAX_SAM_DEPTH
+        if (h, w) != (s, s):
+            x = jax.image.resize(x, (b, d, s, s), method="linear")
+        out = SAM2Model(cfg=self.cfg, dtype=self.dtype, name="sam")(x)
+        preds, prompts = out["preds"], out["prompts"]
+        if (h, w) != (s, s):
+            preds = jax.image.resize(preds, (b, d, h, w), method="linear")
+            prompts = jax.image.resize(prompts, (b, d, h, w), method="linear")
+        pad = data.shape[1] - d
+        if pad:
+            preds = jnp.pad(preds, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            prompts = jnp.pad(prompts, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return {"preds": preds, "prompts": nn.sigmoid(prompts)}
+
+
+class SAM2(BaseModel):
+    """SAM2/MedSAM family (reference ``models/sam2.py``)."""
+
+    model_type = ModelType.SAM2
+
+    def __init__(self, **kwargs: Any) -> None:
+        custom = dict(kwargs.get("custom_kwargs") or {})
+        self.prompt_lr = float(custom.pop("prompt_lr", 3e-5))
+        self.use_cache_features = bool(custom.pop("use_cache_features", False))
+        self.num_init_cond_slices = custom.pop("num_init_cond_slices", (1, 1))
+        self.rand_init_cond_slices = custom.pop("rand_init_cond_slices", (True, False))
+        kwargs["custom_kwargs"] = custom
+        super().__init__(**kwargs)
+        if self.name.lower().startswith("medsam"):
+            self.model_type = ModelType.MEDSAM
+
+    def build_module(self) -> nn.Module:
+        cfg = (
+            SAM2Config.medsam_tiny()
+            if str(self.name).lower().startswith("medsam")
+            else SAM2Config.large()
+        )
+        if self.custom_kwargs.get("test_config"):
+            cfg = SAM2Config.tiny_test()
+        self.sam_cfg = cfg
+        return _SAM2Forward(cfg=cfg, dtype=self.dtype)
+
+    # ---- forward ---------------------------------------------------------
+
+    def apply(self, variables: Any, data: jnp.ndarray) -> jnp.ndarray:
+        return self.module.apply(variables, data)["preds"]
+
+    def apply_with_aux(self, variables: Any, data: jnp.ndarray):
+        out = self.module.apply(variables, data)
+        return out["preds"], {"prompts": out["prompts"]}
+
+    def compute_losses(self, y_pred, y_true, mask, aux=None):
+        losses = super().compute_losses(y_pred, y_true, mask)
+        if aux and "prompts" in aux:
+            # dice loss on the predicted dense prompts (reference
+            # ``models/sam2.py:145-148``), supervising the PromptPredictor
+            losses["mask_loss"] = dice_loss(aux["prompts"], y_true, mask)
+            losses["total"] = losses["total"] + losses["mask_loss"]
+        return losses
+
+    # ---- optimizer with parameter groups --------------------------------
+
+    @staticmethod
+    def _param_group(path: tuple) -> str:
+        keys = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(str(k) for k in keys)
+        if "prompt_predictor" in joined:
+            return "prompt"
+        if any(root in joined for root in _FROZEN_ROOTS):
+            return "frozen"
+        if "mask_decoder" in joined:
+            # decoder base frozen; only LoRA adapters train
+            return "train" if ("w_a" in joined or "w_b" in joined) else "frozen"
+        return "train"
+
+    def make_optimizer(
+        self,
+        gradient_clip_val: float | None = None,
+        gradient_clip_algorithm: str = "norm",
+        lr: float | None = None,
+    ) -> optax.GradientTransformation:
+        def label_fn(params):
+            flat = jax.tree_util.tree_flatten_with_path(params)
+            paths, treedef = flat
+            return jax.tree_util.tree_unflatten(
+                treedef, [self._param_group(p) for p, _ in paths]
+            )
+
+        base_lr = lr if lr is not None else self.lr
+        groups = {
+            "train": optax.adamw(base_lr, weight_decay=self.weight_decay),
+            "prompt": optax.adamw(self.prompt_lr, weight_decay=self.weight_decay),
+            "frozen": optax.set_to_zero(),
+        }
+        tx = optax.multi_transform(groups, label_fn)
+        if gradient_clip_val is not None:
+            clip = (
+                optax.clip_by_global_norm(float(gradient_clip_val))
+                if gradient_clip_algorithm == "norm"
+                else optax.clip(float(gradient_clip_val))
+            )
+            return optax.chain(clip, tx)
+        return tx

@@ -1,0 +1,203 @@
+"""Hiera backbone (SAM2 "hieradet" trunk) in flax.
+
+Hierarchical ViT with windowed attention: 7×7/4 patch embed, four stages
+with dim/head doubling and 2× query pooling at stage transitions, fixed
+window sizes per stage, and a few global-attention blocks in stage 3.
+Position embedding = interpolated global background embedding + tiled
+window embedding (the sam2 ``hieradet`` scheme).
+
+TPU-native notes: window partitioning is pure reshape/transpose (no
+gather); attention runs as one batched einsum over all windows so the MXU
+sees a single large matmul per block.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cryovit_tpu.models.sam2.config import HieraConfig
+from cryovit_tpu.ops.resize import bicubic_resize_matrix
+
+__all__ = ["Hiera"]
+
+
+def _window_partition(x: jnp.ndarray, w: int) -> tuple[jnp.ndarray, tuple[int, int]]:
+    """(B, H, W, C) → (B·nh·nw, w, w, C), padding H/W up to multiples of w."""
+    b, h, wdt, c = x.shape
+    pad_h = (-h) % w
+    pad_w = (-wdt) % w
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, wdt + pad_w
+    x = x.reshape(b, hp // w, w, wp // w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, w, w, c)
+    return x, (hp, wp)
+
+
+def _window_unpartition(
+    x: jnp.ndarray, w: int, padded: tuple[int, int], out: tuple[int, int]
+) -> jnp.ndarray:
+    hp, wp = padded
+    h, wdt = out
+    b = x.shape[0] // ((hp // w) * (wp // w))
+    x = x.reshape(b, hp // w, wp // w, w, w, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :wdt]
+
+
+class MultiScaleAttention(nn.Module):
+    """Attention with optional 2× query pooling (stage transition)."""
+
+    dim_out: int
+    num_heads: int
+    q_pool: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        qkv = nn.Dense(3 * self.dim_out, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.q_pool:
+            # 2×2 max-pool on the query grid (matches hieradet q_pool)
+            q = q.reshape(b, h, w, self.num_heads, head_dim)
+            q = nn.max_pool(
+                q.reshape(b, h, w, self.num_heads * head_dim),
+                window_shape=(2, 2),
+                strides=(2, 2),
+            ).reshape(b, (h // 2) * (w // 2), self.num_heads, head_dim)
+            out_hw = (h // 2, w // 2)
+        else:
+            out_hw = (h, w)
+
+        scale = head_dim**-0.5
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(b, *out_hw, self.dim_out)
+        return nn.Dense(self.dim_out, name="proj")(out)
+
+
+class MultiScaleBlock(nn.Module):
+    """Hiera block: LN → (windowed) attention (+ q-pool skip) → LN → MLP."""
+
+    dim_out: int
+    num_heads: int
+    window_size: int  # 0 = global attention
+    q_pool: bool = False
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim_in = x.shape[-1]
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+
+        if dim_in != self.dim_out:
+            # projection on the (pooled) shortcut
+            shortcut = nn.Dense(self.dim_out, name="proj")(x)
+        if self.q_pool:
+            b, h, w, c = shortcut.shape
+            shortcut = nn.max_pool(shortcut, (2, 2), strides=(2, 2))
+
+        h, w = x.shape[1:3]
+        if self.window_size > 0:
+            x, padded = _window_partition(x, self.window_size)
+        attn = MultiScaleAttention(
+            self.dim_out, self.num_heads, q_pool=self.q_pool, name="attn"
+        )
+        x = attn(x)
+        if self.window_size > 0:
+            win = self.window_size // (2 if self.q_pool else 1)
+            out_hw = (h // 2, w // 2) if self.q_pool else (h, w)
+            padded = tuple(p // 2 for p in padded) if self.q_pool else padded
+            x = _window_unpartition(x, win, padded, out_hw)
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = nn.Dense(int(self.dim_out * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim_out, name="mlp_fc2")(y)
+        return x + y
+
+
+class Hiera(nn.Module):
+    """Hiera trunk returning one feature map per stage (strides 4/8/16/32)."""
+
+    cfg: HieraConfig = HieraConfig.large()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        cfg = self.cfg
+        b, h, w = x.shape[:3]
+        if x.ndim == 3:
+            x = x[..., None]
+
+        # patch embed 7×7 stride 4 (conv form; single- or 3-channel input)
+        x = nn.Conv(
+            cfg.embed_dim,
+            (cfg.patch_kernel, cfg.patch_kernel),
+            strides=(cfg.patch_stride, cfg.patch_stride),
+            padding=[(cfg.patch_padding, cfg.patch_padding)] * 2,
+            name="patch_embed",
+        )(x)
+        gh, gw = x.shape[1:3]
+
+        # hieradet position embedding: interpolated background + tiled window
+        bkg_h, bkg_w = cfg.window_pos_embed_bkg_spatial_size
+        pos_bkg = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (bkg_h, bkg_w, cfg.embed_dim)
+        )
+        win = cfg.window_spec[0]
+        pos_win = self.param(
+            "pos_embed_window", nn.initializers.normal(0.02), (win, win, cfg.embed_dim)
+        )
+        rh = bicubic_resize_matrix(bkg_h, gh)
+        rw = bicubic_resize_matrix(bkg_w, gw)
+        pos = jnp.einsum("oh,hwc->owc", rh, pos_bkg)
+        pos = jnp.einsum("pw,owc->opc", rw, pos)
+        tiles = jnp.tile(pos_win, ((gh + win - 1) // win, (gw + win - 1) // win, 1))
+        pos = pos + tiles[:gh, :gw]
+        x = x + pos[None]
+
+        stage_ends = []
+        total = 0
+        for s in cfg.stages:
+            total += s
+            stage_ends.append(total - 1)
+
+        outputs: list[jnp.ndarray] = []
+        block_idx = 0
+        dim = cfg.embed_dim
+        heads = cfg.num_heads
+        for stage, depth in enumerate(cfg.stages):
+            window = cfg.window_spec[stage]
+            for d in range(depth):
+                first_of_stage = d == 0 and stage > 0
+                dim_out = dim * 2 if first_of_stage else dim
+                heads_out = heads * 2 if first_of_stage else heads
+                is_global = block_idx in cfg.global_att_blocks
+                x = MultiScaleBlock(
+                    dim_out=dim_out,
+                    num_heads=heads_out,
+                    window_size=0 if is_global else window,
+                    q_pool=first_of_stage,
+                    mlp_ratio=cfg.mlp_ratio,
+                    dtype=self.dtype,
+                    name=f"block{block_idx}",
+                )(x)
+                dim, heads = dim_out, heads_out
+                if block_idx in stage_ends:
+                    outputs.append(x)
+                block_idx += 1
+        return outputs

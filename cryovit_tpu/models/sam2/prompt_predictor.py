@@ -1,0 +1,93 @@
+"""3D U-Net prompt predictor for SAM2 (flax).
+
+Parity target: reference ``models/sam2_blocks.py:146-221`` — a small 3D
+U-Net over the level-0 (stride-4, 256-ch) backbone features predicting a
+per-slice dense mask prompt (1 channel, 4× bilinear upsample) and a
+normalized box per slice (global-avg-pool + linear, (x1y1, x1y1+wh) with
+sigmoid). Channel multipliers [1, 2, 4, 8, 10] × hidden 16, depth 4,
+MaxPool3d downs, trilinear-style ups with skip concat.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cryovit_tpu.ops.resize import resize_bicubic_2d
+
+__all__ = ["PromptPredictor"]
+
+
+def _instance_norm(c: int) -> nn.GroupNorm:
+    return nn.GroupNorm(num_groups=c, epsilon=1e-5, use_bias=False, use_scale=False)
+
+
+class _ConvBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (3, 3, 3), padding="SAME", use_bias=False)(x)
+        x = _instance_norm(self.features)(x)
+        return nn.gelu(x, approximate=False)
+
+
+def _trilinear_resize(x: jnp.ndarray, shape: tuple[int, int, int]) -> jnp.ndarray:
+    """(B, D, H, W, C) → resized spatial dims with linear interpolation."""
+    return jax.image.resize(
+        x, (x.shape[0], *shape, x.shape[-1]), method="trilinear"
+    )
+
+
+class PromptPredictor(nn.Module):
+    """U-Net over (B, D, h0, w0, C) level-0 features → per-slice box + mask."""
+
+    in_channels: int = 256
+    hidden_channels: int = 16
+    depth: int = 4
+    channel_mults: tuple[int, ...] = (1, 2, 4, 8, 10)
+    scale_factor: int = 4  # SAM2's stride-4 patch embedding
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """feats (B, D, h, w, C) → (boxes (B·D, 4) in [0,1],
+        mask prompts (B·D, 4h, 4w, 1))."""
+        b, d, h, w, _ = feats.shape
+        ch = [m * self.hidden_channels for m in self.channel_mults]
+
+        x = _ConvBlock(ch[0], name="in0")(feats)
+        x = _ConvBlock(ch[0], name="in1")(x)
+
+        skips = []
+        for i in range(self.depth):
+            skips.append(x)
+            # pool only dims that can still halve (shallow z-stacks keep D)
+            win = tuple(2 if x.shape[k + 1] >= 2 else 1 for k in range(3))
+            x = nn.max_pool(x, win, strides=win)
+            x = _ConvBlock(ch[i + 1], name=f"down{i}_0")(x)
+            x = _ConvBlock(ch[i + 1], name=f"down{i}_1")(x)
+
+        for i in reversed(range(self.depth)):
+            skip = skips.pop()
+            x = _trilinear_resize(x, skip.shape[1:4])
+            x = jnp.concatenate([skip, x], axis=-1)
+            x = _ConvBlock(ch[i], name=f"up{i}")(x)
+
+        # dense mask prompt: 1-channel, 4× upsampled to SAM input resolution
+        prompt = nn.Conv(1, (1, 1, 1), name="prompt_out")(x)  # (B, D, h, w, 1)
+        prompt = prompt.reshape(b * d, h, w)
+        prompt = resize_bicubic_2d(
+            prompt, h * self.scale_factor, w * self.scale_factor
+        )[..., None]
+
+        # box: global average pool per slice + linear → (x1y1, x1y1+wh)
+        pooled = x.mean(axis=(2, 3)).reshape(b * d, -1)  # (B·D, C)
+        box = nn.sigmoid(nn.Dense(4, name="box_out")(pooled))
+        x1y1 = box[:, :2]
+        x2y2 = jnp.clip(x1y1 + box[:, 2:], 0.0, 1.0)
+        boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+        return boxes, prompt

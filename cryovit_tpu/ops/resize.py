@@ -39,9 +39,13 @@ def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
 
 
 @lru_cache(maxsize=64)
-def bicubic_resize_matrix(in_size: int, out_size: int, a: float = -0.75):
+def bicubic_resize_matrix(in_size: int, out_size: int, a: float = -0.75) -> np.ndarray:
     """Dense ``(out_size, in_size)`` resampling matrix matching torch bicubic
-    (align_corners=False, half-pixel centers, clamped borders)."""
+    (align_corners=False, half-pixel centers, clamped borders).
+
+    Returns numpy (not a device array): the cache must never hold values
+    created under a jit trace, and XLA constant-folds the numpy operand.
+    """
     scale = in_size / out_size
     dst = np.arange(out_size, dtype=np.float64)
     src = (dst + 0.5) * scale - 0.5
@@ -53,7 +57,7 @@ def bicubic_resize_matrix(in_size: int, out_size: int, a: float = -0.75):
         idx = np.clip(base + tap, 0, in_size - 1)
         w = _cubic_kernel(tap - frac, a=a)
         np.add.at(mat, (dst.astype(np.int64), idx), w)
-    return jnp.asarray(mat, dtype=jnp.float32)
+    return mat.astype(np.float32)
 
 
 def resize_bicubic_2d(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:

@@ -1,0 +1,191 @@
+"""SAM2 image-encoder feature extraction (``sam_features`` path).
+
+Parity target: reference ``_sam_features`` (``run/dino_features.py:67-106``)
+and the ``sam_features`` entry point: run the (frozen) Hiera+FPN encoder
+over every slice at 512² and store the multi-level ``backbone_fpn`` /
+``vision_pos_enc`` pyramids as fp16 in the training-ready HDF5
+(``sam_features/<key>/<level>`` datasets), so SAM2 training with
+``use_cache_features=True`` skips the encoder.
+
+File layout matches the reference: arrays are stored channels-first
+``(D, C, h, w)`` like the torch pipeline writes them.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from cryovit_tpu.composer import DotDict
+from cryovit_tpu.config import samples as ALL_SAMPLES, tomogram_exts, validate_dino_config
+from cryovit_tpu.models.sam2.config import SAM2Config
+from cryovit_tpu.models.sam2.encoder import ImageEncoder
+from cryovit_tpu.run.dino_features import _read_source, save_feature_hdf
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["SamFeatureExtractor", "run_sam", "run_trainer"]
+
+
+class SamFeatureExtractor:
+    """Jit-compiled Hiera+FPN pyramid extractor over slice batches."""
+
+    def __init__(
+        self,
+        variables,
+        cfg: SAM2Config | None = None,
+        batch_size: int = 64,
+    ) -> None:
+        self.cfg = cfg or SAM2Config.large()
+        self.encoder = ImageEncoder(self.cfg)
+        self.variables = jax.device_put(variables)
+        self.batch_size = batch_size
+        self._fn = None
+
+    def _batch_fn(self):
+        if self._fn is not None:
+            return self._fn
+        s = self.cfg.image_size
+
+        @jax.jit
+        def fn(variables, slices):  # (B, H, W) f32
+            x = jax.image.resize(
+                slices, (slices.shape[0], s, s), method="linear"
+            )
+            out = self.encoder.apply(variables, jnp.repeat(x[..., None], 3, axis=-1))
+            # fp16, channels-first for file-layout parity
+            return {
+                "backbone_fpn": [
+                    jnp.moveaxis(f, -1, 1).astype(jnp.float16)
+                    for f in out["backbone_fpn"]
+                ],
+                "vision_pos_enc": [
+                    jnp.moveaxis(p, -1, 1).astype(jnp.float16)
+                    for p in out["vision_pos_enc"]
+                ],
+            }
+
+        self._fn = partial(fn, self.variables)
+        return self._fn
+
+    def extract(self, stack: np.ndarray) -> dict[str, list[np.ndarray]]:
+        """(D, H, W) f32 → dict of per-level (D, C, h, w) fp16 pyramids."""
+        d = stack.shape[0]
+        fn = self._batch_fn()
+        bs = self.batch_size
+        chunks: list[dict] = []
+        for i in range(0, d, bs):
+            batch = stack[i : i + bs]
+            n = batch.shape[0]
+            if n < bs:
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - n, *batch.shape[1:]), batch.dtype)]
+                )
+            out = fn(jnp.asarray(batch))
+            chunks.append(
+                {
+                    key: [np.asarray(level)[:n] for level in levels]
+                    for key, levels in out.items()
+                }
+            )
+        return {
+            key: [
+                np.concatenate([c[key][lvl] for c in chunks], axis=0)
+                for lvl in range(len(chunks[0][key]))
+            ]
+            for key in chunks[0]
+        }
+
+
+def make_sam_encoder_variables(
+    model_dir: str | Path,
+    cfg: SAM2Config | None = None,
+    random_init: bool = False,
+):
+    """Load converted SAM2 encoder weights, or random-init for testing."""
+    cfg = cfg or SAM2Config.large()
+    if random_init:
+        logger.warning("using RANDOM SAM2 encoder weights")
+        enc = ImageEncoder(cfg)
+        probe = jnp.zeros((1, cfg.image_size, cfg.image_size, 3))
+        return jax.jit(enc.init)(jax.random.key(0), probe)
+    path = Path(model_dir) / "sam2_encoder.msgpack"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"SAM2 encoder weights not found at {path}. Convert once with "
+            f"tools/convert_sam2.py"
+        )
+    from flax.serialization import msgpack_restore
+
+    return msgpack_restore(path.read_bytes())
+
+
+def run_sam(
+    train_data: list[Path],
+    result_dir: Path,
+    batch_size: int = 64,
+    random_init: bool = False,
+    sam_cfg: SAM2Config | None = None,
+    model_dir: str | Path = "",
+) -> list[Path]:
+    """CLI path: extract SAM pyramids for explicit tomogram files."""
+    from cryovit_tpu.io import load_data
+
+    variables = make_sam_encoder_variables(model_dir, sam_cfg, random_init)
+    extractor = SamFeatureExtractor(variables, cfg=sam_cfg, batch_size=batch_size)
+    written = []
+    for f in train_data:
+        data, _ = load_data(f)
+        stack = data[0].astype(np.float32)
+        feats = extractor.extract(stack)
+        out = Path(result_dir) / f"{Path(f).stem}.hdf"
+        save_feature_hdf({"data": stack}, feats, out.name, out.parent)
+        written.append(out)
+        logger.info("wrote %s", out)
+    return written
+
+
+def run_trainer(cfg: DotDict, sam_cfg: SAM2Config | None = None) -> None:
+    """Experiment path: per-sample SAM feature sweep (reference
+    ``run/dino_features.py:304-350`` with ``use_sam=True``)."""
+    validate_dino_config(cfg)
+    data_dir = Path(cfg.paths.data_dir)
+    src_dir = data_dir / cfg.paths.feature_name
+    dst_dir = data_dir / cfg.paths.tomo_name
+    csv_dir = data_dir / cfg.paths.csv_name
+
+    sample_names = (
+        [cfg.sample] if cfg.get("sample") else [s for s in ALL_SAMPLES if (src_dir / s).exists()]
+    )
+    variables = make_sam_encoder_variables(
+        cfg.model_dir, sam_cfg, random_init=bool(cfg.get("random_init", False))
+    )
+    extractor = SamFeatureExtractor(
+        variables, cfg=sam_cfg, batch_size=int(cfg.batch_size)
+    )
+    for sample in sample_names:
+        tomo_dir = src_dir / sample
+        csv_file = csv_dir / f"{sample}.csv"
+        if csv_file.exists():
+            names = pd.read_csv(csv_file)["tomo_name"].to_list()
+        else:
+            names = sorted(
+                f.name for f in tomo_dir.glob("*") if f.suffix in tomogram_exts
+            )
+        for name in names:
+            source = _read_source(tomo_dir / name)
+            data = source["data"]
+            stack = (
+                data.astype(np.float32) / 255.0
+                if data.dtype == np.uint8
+                else data.astype(np.float32)
+            )
+            feats = extractor.extract(stack)
+            save_feature_hdf(source, feats, name, dst_dir / sample)
+            logger.info("[%s] %s", sample, name)

@@ -110,9 +110,9 @@ class Trainer:
     def _train_step_fn(self, model: BaseModel, optimizer) -> Callable:
         def step(state: TrainState, data, label):
             def loss_fn(params):
-                preds = model.apply(params, data)
+                preds, aux = model.apply_with_aux(params, data)
                 mask = prediction_mask(label)
-                losses = model.compute_losses(preds, label, mask)
+                losses = model.compute_losses(preds, label, mask, aux=aux)
                 return losses["total"], (losses, preds, mask)
 
             (_, (losses, preds, mask)), grads = jax.value_and_grad(
@@ -136,9 +136,9 @@ class Trainer:
 
     def _eval_step_fn(self, model: BaseModel) -> Callable:
         def step(params, data, label, aux_mask):
-            preds = model.apply(params, data)
+            preds, aux = model.apply_with_aux(params, data)
             mask = prediction_mask(label, aux_mask)
-            losses = model.compute_losses(preds, label, mask)
+            losses = model.compute_losses(preds, label, mask, aux=aux)
             metrics = model.compute_metrics(preds, label, mask)
             return preds, losses, metrics
 
