@@ -1,0 +1,113 @@
+"""Multi-chip SPMD tests on the 8-virtual-device CPU mesh.
+
+This is the TPU-native answer to multi-node testing (SURVEY §4): the same
+mesh/sharding code that runs on a v5e-8 executes here on 8 host devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cryovit_tpu.parallel import batch_sharding, make_mesh, replicate, shard_batch
+
+
+def test_make_mesh_fill_and_explicit():
+    mesh = make_mesh({"data": -1})
+    assert mesh.shape == {"data": 8}
+    mesh2 = make_mesh({"data": 4, "model": 2})
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="divisible"):
+        make_mesh({"data": -1, "model": 3})
+
+
+def test_shard_and_replicate(rng):
+    mesh = make_mesh({"data": 8})
+    x = jnp.asarray(rng.standard_normal((16, 4)))
+    sharded = shard_batch(x, mesh)
+    assert sharded.sharding == batch_sharding(mesh)
+    assert len(sharded.addressable_shards) == 8
+    assert sharded.addressable_shards[0].data.shape == (2, 4)
+
+    params = {"w": jnp.ones((3, 3))}
+    rep = replicate(params, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+
+
+def test_trainer_dp_over_mesh(tmp_path, rng):
+    """Full CryoVIT train epoch with the batch axis sharded over 8 devices."""
+    import pandas as pd
+
+    from cryovit_tpu.data import DataLoader, SingleSampleDataModule, TomoDataset
+    from cryovit_tpu.io import write_hdf
+    from cryovit_tpu.models import CryoVIT
+    from cryovit_tpu.models.losses import DiceLoss
+    from cryovit_tpu.models.metrics import DiceMetric
+    from cryovit_tpu.train import Trainer
+
+    from conftest import make_synthetic_tomogram
+
+    root = tmp_path / "tomograms"
+    rows = []
+    for i in range(8):
+        name = f"t{i}.hdf"
+        write_hdf(root / "AD" / name, make_synthetic_tomogram(rng, depth=4, side=32))
+        rows.append({"sample": "AD", "tomo_name": name, "split_id": i % 2})
+    csv = tmp_path / "splits.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    def dataset_fn(records, train=False):
+        return TomoDataset(records, input_key="dino_features", label_key="mito",
+                           data_root=root, train=train, seed=0)
+
+    def dataloader_fn(dataset, shuffle=False, collate_fn=None):
+        # batch of 4 tomograms → shards 4-way... batch must divide mesh size;
+        # use batch 4 on a 4-device data axis
+        return DataLoader(dataset, batch_size=4, shuffle=shuffle,
+                          num_workers=0, collate_fn=collate_fn)
+
+    dm = SingleSampleDataModule(
+        sample=["AD"], split_id=1, split_key="split_id",
+        split_file=csv, dataset_fn=dataset_fn, dataloader_fn=dataloader_fn,
+        input_key="dino_features",
+    )
+    model = CryoVIT(
+        name="CryoVIT", input_key="dino_features", lr=1e-4,
+        losses={"dice_loss": DiceLoss()}, metrics={"dice_metric": DiceMetric(0.5)},
+    )
+    trainer = Trainer(max_epochs=1, mesh_shape={"data": 4}, precision="f32",
+                      enable_model_summary=False)
+    state = trainer.fit(model, dm)
+    assert np.isfinite(trainer.logged["epoch_train_total"])
+    # params stay replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_extractor_sharded_over_mesh(rng):
+    """DINOv2 slice extraction with the slice axis sharded over all devices."""
+    from cryovit_tpu.models.dinov2 import DinoV2Config, make_dinov2
+    from cryovit_tpu.run.dino_features import DinoExtractor
+
+    cfg = DinoV2Config.tiny_test()
+    model = make_dinov2(cfg, use_flash_attention=False)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 28, 28)))
+    mesh = make_mesh({"data": 8})
+    ext = DinoExtractor(variables, cfg=cfg, batch_size=8, mesh=mesh)
+    stack = rng.random((12, 32, 32)).astype(np.float32)
+    feats = ext.extract(stack)
+    assert feats.shape == (cfg.embed_dim, 12, 2, 2)
+    assert np.isfinite(feats).all()
+
+    # sharded output must equal single-device output
+    ext1 = DinoExtractor(variables, cfg=cfg, batch_size=8)
+    np.testing.assert_allclose(feats, ext1.extract(stack), atol=2e-3)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    loss, preds = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
+    g.dryrun_multichip(8)
