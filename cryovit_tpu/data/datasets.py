@@ -122,7 +122,19 @@ class TomoDataset:
             label = np.asarray(f[label_path][()]).astype(np.int8)
             aux = {}
             for key in self.aux_keys:
-                if key in f:
+                if key == "sam_features" and key in f:
+                    # cached SAM pyramids: {backbone_fpn, vision_pos_enc} →
+                    # per-level (D, C, h, w) arrays (reference
+                    # tomo_dataset.py:128-144)
+                    grp = f[key]
+                    aux[key] = {
+                        name: [
+                            np.asarray(grp[name][str(i)][()])
+                            for i in range(len(grp[name]))
+                        ]
+                        for name in grp
+                    }
+                elif key in f:
                     aux[key] = np.asarray(f[key][()])
                 else:
                     logger.warning("%s: aux key %s missing", tomo_path, key)

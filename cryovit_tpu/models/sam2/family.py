@@ -44,7 +44,9 @@ class _SAM2Forward(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, data: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    def __call__(
+        self, data: jnp.ndarray, backbone: dict | None = None
+    ) -> dict[str, jnp.ndarray]:
         # data: (B, D, H, W, 1) voxel volumes in [0, 1]
         b, d, h, w = data.shape[:4]
         s = self.cfg.image_size
@@ -54,7 +56,7 @@ class _SAM2Forward(nn.Module):
             d = MAX_SAM_DEPTH
         if (h, w) != (s, s):
             x = jax.image.resize(x, (b, d, s, s), method="linear")
-        out = SAM2Model(cfg=self.cfg, dtype=self.dtype, name="sam")(x)
+        out = SAM2Model(cfg=self.cfg, dtype=self.dtype, name="sam")(x, backbone)
         preds, prompts = out["preds"], out["prompts"]
         if (h, w) != (s, s):
             preds = jax.image.resize(preds, (b, d, h, w), method="linear")
@@ -95,11 +97,46 @@ class SAM2(BaseModel):
 
     # ---- forward ---------------------------------------------------------
 
-    def apply(self, variables: Any, data: jnp.ndarray) -> jnp.ndarray:
-        return self.module.apply(variables, data)["preds"]
+    def prepare_inputs(self, data, items):
+        """Use cached ``sam_features`` pyramids when available
+        (reference ``use_cache_features``, ``models/sam2.py:349-358``)."""
+        import numpy as np
 
-    def apply_with_aux(self, variables: Any, data: jnp.ndarray):
-        out = self.module.apply(variables, data)
+        data = jnp.asarray(data)
+        if not self.use_cache_features or not items:
+            return data
+        aux = items[0].aux_data or {}
+        if "sam_features" not in aux or len(items) != 1:
+            return data
+        cached = aux["sam_features"]
+        d_pad = data.shape[1]
+
+        def to_flat(levels):
+            out = []
+            for arr in levels:
+                # file layout (D, C, h, w) → flat channels-last (B·D, h, w, C)
+                cl = np.moveaxis(np.asarray(arr, dtype=np.float32), 1, -1)
+                if cl.shape[0] < d_pad:
+                    cl = np.pad(
+                        cl, ((0, d_pad - cl.shape[0]), (0, 0), (0, 0), (0, 0))
+                    )
+                out.append(jnp.asarray(cl[:d_pad]))
+            return tuple(out)
+
+        backbone = {
+            "backbone_fpn": to_flat(cached["backbone_fpn"]),
+            "vision_pos_enc": to_flat(cached["vision_pos_enc"]),
+        }
+        return {"slices": data, "backbone": backbone}
+
+    def apply(self, variables: Any, data) -> jnp.ndarray:
+        return self.apply_with_aux(variables, data)[0]
+
+    def apply_with_aux(self, variables: Any, data):
+        if isinstance(data, dict):
+            out = self.module.apply(variables, data["slices"], data["backbone"])
+        else:
+            out = self.module.apply(variables, data)
         return out["preds"], {"prompts": out["prompts"]}
 
     def compute_losses(self, y_pred, y_true, mask, aux=None):

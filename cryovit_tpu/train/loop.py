@@ -216,14 +216,20 @@ class Trainer:
             None,
         )
 
+        prepare = getattr(model, "prepare_inputs", None)
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.perf_counter()
             train_loader.set_epoch(epoch)
             logs: dict[str, Any] = {}
-            for batch, _items in train_loader:
+            for batch, items in train_loader:
                 placed = self._place(batch)
+                inputs = (
+                    prepare(placed.data, items)
+                    if prepare is not None
+                    else jnp.asarray(placed.data)
+                )
                 state, logs = train_step(
-                    state, jnp.asarray(placed.data), jnp.asarray(placed.label)
+                    state, inputs, jnp.asarray(placed.label)
                 )
                 step_num = int(state.step)
                 if step_num % self.log_every_n_steps == 0:
@@ -231,7 +237,9 @@ class Trainer:
 
             epoch_logs = {f"epoch_{k}": float(v) for k, v in logs.items()}
             if val_loader is not None:
-                vals = self._run_eval_epoch(eval_step, state.params, val_loader)
+                vals = self._run_eval_epoch(
+                    eval_step, state.params, val_loader, prepare=prepare
+                )
                 epoch_logs.update({f"val_{k}": v for k, v in vals.items()})
             epoch_logs["epoch_time_s"] = time.perf_counter() - t0
             self._log(int(state.step), epoch_logs)
@@ -255,15 +263,22 @@ class Trainer:
         self.state = state
         return state
 
-    def _run_eval_epoch(self, eval_step, params, loader) -> dict[str, float]:
+    def _run_eval_epoch(
+        self, eval_step, params, loader, prepare=None
+    ) -> dict[str, float]:
         sums: dict[str, float] = {}
         count = 0
         for batch, items in loader:
             placed = self._place(batch)
             aux_mask = self._aux_mask(None, batch, items)
+            inputs = (
+                prepare(placed.data, items)
+                if prepare is not None
+                else jnp.asarray(placed.data)
+            )
             _, losses, metrics = eval_step(
                 params,
-                jnp.asarray(placed.data),
+                inputs,
                 jnp.asarray(placed.label),
                 aux_mask,
             )
@@ -296,12 +311,18 @@ class Trainer:
 
     def test(self, model: BaseModel, variables, datamodule) -> list[BatchedModelResult]:
         eval_step = self._eval_step_fn(model)
+        prepare = getattr(model, "prepare_inputs", None)
         results = []
         for batch, items in datamodule.test_loader():
             placed = self._place(batch)
             aux_mask = self._aux_mask(model, batch, items)
+            inputs = (
+                prepare(placed.data, items)
+                if prepare is not None
+                else jnp.asarray(placed.data)
+            )
             preds, losses, metrics = eval_step(
-                variables, jnp.asarray(placed.data), jnp.asarray(placed.label), aux_mask
+                variables, inputs, jnp.asarray(placed.label), aux_mask
             )
             result = self._build_result(np.asarray(preds), losses, metrics, items)
             for cb in self.callbacks:
@@ -312,10 +333,16 @@ class Trainer:
 
     def predict(self, model: BaseModel, variables, datamodule) -> list[BatchedModelResult]:
         predict_step = self._predict_step_fn(model)
+        prepare = getattr(model, "prepare_inputs", None)
         results = []
         for batch, items in datamodule.predict_loader():
             placed = self._place(batch)
-            preds = np.asarray(predict_step(variables, jnp.asarray(placed.data)))
+            inputs = (
+                prepare(placed.data, items)
+                if prepare is not None
+                else jnp.asarray(placed.data)
+            )
+            preds = np.asarray(predict_step(variables, inputs))
             result = self._build_result(preds, {}, {}, items)
             for cb in self.callbacks:
                 if hasattr(cb, "on_predict_batch_end"):

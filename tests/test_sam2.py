@@ -219,3 +219,42 @@ def test_sam_features_extraction(tmp_path, rng, tiny_cfg):
         assert "sam_features/backbone_fpn/0" in f
         assert "sam_features/vision_pos_enc/2" in f
         assert "data" in f
+
+
+def test_sam2_cached_features_path(tmp_path, rng, tiny_cfg):
+    """use_cache_features: precomputed pyramids skip the encoder and give
+    the same predictions as the on-the-fly path."""
+    from cryovit_tpu.models import SAM2
+    from cryovit_tpu.models.losses import DiceLoss
+    from cryovit_tpu.models.metrics import DiceMetric
+    from cryovit_tpu.run.sam_features import SamFeatureExtractor, make_sam_encoder_variables
+    from cryovit_tpu.types import TomogramData
+
+    model = SAM2(
+        name="SAM2", input_key="data", lr=5e-5,
+        losses={"dice_loss": DiceLoss()}, metrics={"dice_metric": DiceMetric(0.5)},
+        custom_kwargs={"test_config": True, "use_cache_features": True},
+    )
+    s = tiny_cfg.image_size
+    data = rng.random((1, 3, s, s, 1)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(data))
+
+    # extract pyramids with the model's own encoder weights
+    enc_vars = {"params": variables["params"]["sam"]["image_encoder"]}
+    ext = SamFeatureExtractor(enc_vars, cfg=tiny_cfg, batch_size=4)
+    feats = ext.extract(data[0, ..., 0])
+
+    item = TomogramData(
+        sample="AD", tomo_name="t.hdf", split_id=None,
+        data=data[0], label=np.zeros((3, s, s), np.int8),
+        aux_data={"sam_features": feats},
+    )
+    inputs = model.prepare_inputs(data, [item])
+    assert isinstance(inputs, dict) and "backbone" in inputs
+    preds_cached = model.apply(variables, inputs)
+    preds_fresh = model.apply(variables, jnp.asarray(data))
+    assert preds_cached.shape == preds_fresh.shape == (1, 3, s, s)
+    # fp16 cache quantization → close but not identical
+    np.testing.assert_allclose(
+        np.asarray(preds_cached), np.asarray(preds_fresh), atol=0.1
+    )
