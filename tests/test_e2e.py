@@ -179,3 +179,34 @@ def test_swa_kicks_in(experiment_env, tmp_path):
         swa.on_train_epoch_end(epoch, 10, params)
     out = swa.on_fit_end({"w": jnp.asarray(99.0)})
     assert float(out["w"]) == 2.0  # mean of p1, p2 (epoch 4 before window)
+
+
+def test_save_model_from_weights_roundtrip(tmp_path, rng):
+    """Build a .model artifact from a raw weights file (reference
+    utils.py:384-428)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cryovit_tpu.composer import instantiate
+    from cryovit_tpu.config import compose
+    from cryovit_tpu.train.checkpoint import (
+        load_model,
+        save_model_from_weights,
+        save_weights,
+    )
+    from cryovit_tpu.types import ModelType
+
+    cfg = compose("train_model", ["model=cryovit", "datamodule=single", "label_key=mito"])
+    model = instantiate(cfg.model)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 2, 2, 2, 1536)))
+    wpath = tmp_path / "weights.msgpack"
+    save_weights(wpath, variables)
+
+    mpath = tmp_path / "rebuilt.model"
+    save_model_from_weights("rebuilt", "mito", ModelType.CRYOVIT, wpath, mpath)
+    loaded, lvars, mtype, name, label_key = load_model(mpath)
+    assert mtype == ModelType.CRYOVIT and name == "rebuilt" and label_key == "mito"
+    x = jnp.asarray(rng.standard_normal((1, 2, 2, 2, 1536)), dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(loaded.apply(lvars, x)), np.asarray(model.apply(variables, x)), atol=1e-6
+    )
