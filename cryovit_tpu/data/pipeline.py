@@ -137,16 +137,29 @@ class DataLoader:
         out: queue.Queue = queue.Queue(maxsize=self.prefetch * self.num_workers)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put with stop polling: if the consumer abandons the
+            # iterator, the producer must exit instead of blocking forever
+            # on a full queue (thread + queued-batch leak)
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce() -> None:
             try:
                 for idxs in batches:
                     if stop.is_set():
                         return
                     items = [self.dataset[int(i)] for i in idxs]
-                    out.put(self.collate_fn(items))
-                out.put(None)
+                    if not _put(self.collate_fn(items)):
+                        return
+                _put(None)
             except BaseException as e:  # propagate into the consumer
-                out.put(e)
+                _put(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

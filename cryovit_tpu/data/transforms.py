@@ -56,18 +56,26 @@ def dino_grid_shape(h: int, w: int) -> tuple[int, int]:
     return h // 16, w // 16
 
 
-def dino_device_preprocess(slices: jnp.ndarray) -> jnp.ndarray:
-    """On-device DINO preprocessing of a ``(B, H, W)`` f32 [0,1] slice batch.
+def dino_device_preprocess(
+    slices: jnp.ndarray, normalize: bool = False
+) -> jnp.ndarray:
+    """On-device DINO preprocessing of a ``(B, H, W)`` f32 [0,1] slice batch:
+    bicubic 14/16 resize (torch conventions) → ``(B, H·14/16, W·14/16)``.
 
-    Normalizes with ImageNet channel-0 stats and bicubic-resizes by 14/16
-    (torch conventions). Returns ``(B, H*14/16, W*14/16)`` single-channel
-    input; the ViT folds the 3-channel replication into its patch-embed
-    kernel (see ``models/dinov2.py``).
+    ``normalize=False`` is correct for weights converted with the default
+    ``tools/convert_dinov2.py`` settings — ImageNet normalization AND the
+    3-channel replication are folded into the patch-embed kernel there
+    (``models/dinov2.py:fold_patch_embed``). Pass ``normalize=True`` only
+    with weights converted via ``--no-normalize``... which themselves fold
+    only the channel replication (the reference experiment path skips
+    normalization entirely, SURVEY §2.3).
     """
     h, w = slices.shape[-2:]
     out_h = h // 16 * DINO_PATCH_SIZE
     out_w = w // 16 * DINO_PATCH_SIZE
-    x = (slices.astype(jnp.float32) - IMAGENET_MEAN[0]) / IMAGENET_STD[0]
+    x = slices.astype(jnp.float32)
+    if normalize:
+        x = (x - IMAGENET_MEAN[0]) / IMAGENET_STD[0]
     return resize_bicubic_2d(x, out_h, out_w)
 
 

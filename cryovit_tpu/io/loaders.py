@@ -117,9 +117,13 @@ def load_labels(
     suffix = file_path.suffix.lower()
     labels: dict[str, np.ndarray] = {}
     if suffix in _HDF_EXTS:
-        _, data, meta = read_hdf(file_path, key=key)
+        _, data, _ = read_hdf(file_path, key=key)
         if len(label_keys) > 1:
-            labels.update(match_label_keys_to_data(data, label_keys, meta))
+            # recompute exact metadata: read_hdf samples nunique for large
+            # datasets (fine for key ranking, wrong for label matching)
+            labels.update(
+                match_label_keys_to_data(data, label_keys, _metadata_of(data))
+            )
         else:
             labels[key if key is not None else label_keys[0]] = data.astype(np.int8)
     elif suffix in _MRC_EXTS:

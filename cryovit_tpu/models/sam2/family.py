@@ -109,7 +109,9 @@ class SAM2(BaseModel):
         if "sam_features" not in aux or len(items) != 1:
             return data
         cached = aux["sam_features"]
-        d_pad = data.shape[1]
+        # match the forward's depth truncation (cached pyramids must stay
+        # consistent with the slices the tracking scan actually sees)
+        d_pad = min(data.shape[1], MAX_SAM_DEPTH)
 
         def to_flat(levels):
             out = []

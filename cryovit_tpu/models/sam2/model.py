@@ -169,13 +169,19 @@ class SAM2Model(nn.Module):
             dense,
             high_res_feats,
         )
-        # object-score gating (NO_OBJ_SCORE placeholder)
+        # object-score gating (NO_OBJ_SCORE placeholder); obj_score is (B, 1)
         is_obj = obj_score > 0
-        masks = jnp.where(is_obj[:, :, None], masks, cfg.no_obj_score)
+        masks = jnp.where(is_obj[:, :, None, None], masks, cfg.no_obj_score)
 
-        # multimask branch: max over outputs 1..3, best-IoU token
+        # multimask branch: prediction = max over outputs 1..3 (reference
+        # track_step, sam2.py:576-580); the memory encoder instead receives
+        # the best-IoU mask (reference _forward_sam_heads, sam2.py:757-768)
         multi_low = jnp.max(masks[:, 1:], axis=1)
         best = jnp.argmax(ious[:, 1:], axis=-1)
+        best_low = jnp.take_along_axis(
+            masks[:, 1:], best[:, None, None, None].repeat(masks.shape[-2], 2)
+            .repeat(masks.shape[-1], 3), axis=1,
+        )[:, 0]
         multi_token = jnp.take_along_axis(
             mask_tokens_out[:, 1:],
             best[:, None, None].repeat(mask_tokens_out.shape[-1], axis=-1),
@@ -183,14 +189,15 @@ class SAM2Model(nn.Module):
         )[:, 0]
         # single-mask branch: output 0
         low_res = jnp.where(multimask, multi_low, masks[:, 0])
+        mem_mask = jnp.where(multimask, best_low, masks[:, 0])
         token = jnp.where(multimask, multi_token, mask_tokens_out[:, 0])
 
         obj_ptr = self.obj_ptr_proj(token)
         lam = is_obj[:, 0:1].astype(obj_ptr.dtype)
         obj_ptr = lam * obj_ptr + (1 - lam) * self.no_obj_ptr
-        # high-res mask for the memory encoder
+        # high-res (best-IoU) mask for the memory encoder
         high_res = jax.image.resize(
-            low_res[..., None],
+            mem_mask[..., None],
             (b, cfg.image_size, cfg.image_size, 1),
             method="linear",
         )

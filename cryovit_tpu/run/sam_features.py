@@ -132,11 +132,15 @@ def run_sam(
     batch_size: int = 64,
     random_init: bool = False,
     sam_cfg: SAM2Config | None = None,
-    model_dir: str | Path = "",
+    model_dir: str | Path | None = None,
 ) -> list[Path]:
     """CLI path: extract SAM pyramids for explicit tomogram files."""
+    from cryovit_tpu.config import compose
     from cryovit_tpu.io import load_data
 
+    if model_dir is None:
+        # resolve paths.model_dir/SAM2 from the sam_features config
+        model_dir = compose("sam_features", [f"batch_size={batch_size}"]).model_dir
     variables = make_sam_encoder_variables(model_dir, sam_cfg, random_init)
     extractor = SamFeatureExtractor(variables, cfg=sam_cfg, batch_size=batch_size)
     written = []

@@ -127,8 +127,11 @@ class Trainer:
             logs.update(
                 {f"train_{k}": v for k, v in model.compute_metrics(preds, label, mask).items()}
             )
-            # post-clip gradient norm (reference base_model.py:77-89)
-            logs["grad_norm"] = _global_norm(updates)
+            # raw gradient norm (the reference logs the post-clip norm,
+            # base_model.py:77-89; the pre-clip norm is what explosion
+            # monitoring actually needs and is accessible without
+            # splitting the optimizer chain)
+            logs["grad_norm"] = _global_norm(grads)
             return new_state, logs
 
         donate = (0,) if self.donate_state else ()
@@ -270,17 +273,19 @@ class Trainer:
         count = 0
         for batch, items in loader:
             placed = self._place(batch)
-            aux_mask = self._aux_mask(None, batch, items)
             inputs = (
                 prepare(placed.data, items)
                 if prepare is not None
                 else jnp.asarray(placed.data)
             )
+            # fit-time validation uses only the y>-1 mask; the ground-truth
+            # mito mask applies to test only (reference test_step vs
+            # validation_step, base_model.py:166-241)
             _, losses, metrics = eval_step(
                 params,
                 inputs,
                 jnp.asarray(placed.label),
-                aux_mask,
+                None,
             )
             for k, v in {**losses, **metrics}.items():
                 sums[k] = sums.get(k, 0.0) + float(v)

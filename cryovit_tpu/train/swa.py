@@ -41,7 +41,11 @@ class StochasticWeightAveraging:
         if epoch + 1 <= self.start_epoch(max_epochs):
             return
         if self.swa_params is None:
-            self.swa_params = params
+            # deep-copy: the live TrainState buffers get donated by the next
+            # jitted train step; aliasing them here would read deleted arrays
+            import jax.numpy as jnp
+
+            self.swa_params = jax.tree_util.tree_map(jnp.copy, params)
             self.count = 1
             return
         n = self.count

@@ -210,3 +210,27 @@ def test_save_model_from_weights_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(loaded.apply(lvars, x)), np.asarray(model.apply(variables, x)), atol=1e-6
     )
+
+
+def test_swa_does_not_alias_live_params():
+    """SWA must deep-copy on first store: the live TrainState buffers get
+    donated by the next jitted train step (regression test)."""
+    import jax.numpy as jnp
+
+    from cryovit_tpu.train.swa import StochasticWeightAveraging
+
+    swa = StochasticWeightAveraging(swa_epoch_start=0.5)
+    params = {"w": jnp.ones((4,))}
+    swa.on_train_epoch_end(5, 10, params)
+    assert swa.swa_params["w"] is not params["w"]
+    assert swa.swa_params["w"].unsafe_buffer_pointer() != params["w"].unsafe_buffer_pointer()
+
+
+def test_swa_with_donation_multi_epoch(experiment_env, tmp_path):
+    """Fit with SWA active across several donated steps must not crash."""
+    cfg = _exp_cfg(
+        experiment_env, tmp_path,
+        extra=("trainer.max_epochs=4",),
+    )
+    exp_dir = train_trainer(cfg)
+    assert (exp_dir / "weights.msgpack").exists()
