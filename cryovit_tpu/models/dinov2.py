@@ -112,11 +112,17 @@ def _scaled_resize_matrix(in_size: int, out_size: int, scale: float) -> jnp.ndar
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention with a pluggable kernel."""
+    """Multi-head self-attention with a pluggable kernel.
+
+    ``qkv_attention_fn`` consumes the packed ``(B, N, 3, H, D)`` projection
+    directly (the transpose-free Pallas path); ``attention_fn`` takes
+    separate (q, k, v); neither → XLA einsum attention.
+    """
 
     num_heads: int
     dtype: Any = jnp.bfloat16
     attention_fn: Callable | None = None
+    qkv_attention_fn: Callable | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -124,16 +130,21 @@ class Attention(nn.Module):
         head_dim = c // self.num_heads
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        if self.attention_fn is not None:
-            out = self.attention_fn(q, k, v)
+        if self.qkv_attention_fn is not None:
+            # kernel returns head-major (B, H, N, D); the single swap back is
+            # folded into the projection matmul by XLA (vs 3 input transposes)
+            out = jnp.swapaxes(self.qkv_attention_fn(qkv), 1, 2)
         else:
-            scale = head_dim**-0.5
-            logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-            )
-            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if self.attention_fn is not None:
+                out = self.attention_fn(q, k, v)
+            else:
+                scale = head_dim**-0.5
+                logits = jnp.einsum(
+                    "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+                )
+                weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+                out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(b, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -161,6 +172,7 @@ class Block(nn.Module):
     eps: float
     dtype: Any = jnp.bfloat16
     attention_fn: Callable | None = None
+    qkv_attention_fn: Callable | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -170,7 +182,7 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
         h = Attention(
             self.num_heads, dtype=self.dtype, attention_fn=self.attention_fn,
-            name="attn",
+            qkv_attention_fn=self.qkv_attention_fn, name="attn",
         )(h.astype(self.dtype))
         x = x + h * ls1
         h = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="norm2")(x)
@@ -203,6 +215,7 @@ class DinoV2(nn.Module):
     cfg: DinoV2Config = DinoV2Config.giant()
     dtype: Any = jnp.bfloat16
     attention_fn: Callable | None = None
+    qkv_attention_fn: Callable | None = None
     scan_blocks: bool = False
 
     @nn.compact
@@ -259,6 +272,7 @@ class DinoV2(nn.Module):
                 cfg.layer_norm_eps,
                 dtype=self.dtype,
                 attention_fn=self.attention_fn,
+                qkv_attention_fn=self.qkv_attention_fn,
                 name="blocks",
             )
             tokens, _ = block(tokens, None)
@@ -270,6 +284,7 @@ class DinoV2(nn.Module):
                     cfg.layer_norm_eps,
                     dtype=self.dtype,
                     attention_fn=self.attention_fn,
+                    qkv_attention_fn=self.qkv_attention_fn,
                     name=f"block{i}",
                 )(tokens)
 
@@ -383,11 +398,14 @@ def make_dinov2(
         use_flash_attention = jax.default_backend() not in ("cpu",)
     if scan_blocks is None:
         scan_blocks = cfg.depth >= 12
-    attention_fn = None
+    qkv_attention_fn = None
     if use_flash_attention:
-        from cryovit_tpu.ops.flash_attention import flash_attention
+        from cryovit_tpu.ops.flash_attention import flash_attention_qkv
 
-        attention_fn = partial(flash_attention, dtype=dtype)
+        qkv_attention_fn = flash_attention_qkv
     return DinoV2(
-        cfg=cfg, dtype=dtype, attention_fn=attention_fn, scan_blocks=scan_blocks
+        cfg=cfg,
+        dtype=dtype,
+        qkv_attention_fn=qkv_attention_fn,
+        scan_blocks=scan_blocks,
     )

@@ -244,3 +244,17 @@ def test_scan_init_structure():
     variables = model.init(jax.random.key(0), jnp.zeros((1, 28, 28)))
     qkv = variables["params"]["blocks"]["attn"]["qkv"]["kernel"]
     assert qkv.shape[0] == cfg.depth  # stacked on depth axis
+
+
+@pytest.mark.parametrize("n", [64, 333])
+def test_flash_attention_qkv_matches_reference(rng, n):
+    """Packed-qkv kernel (head-major output) vs the XLA oracle."""
+    from cryovit_tpu.ops.flash_attention import flash_attention_qkv
+
+    b, h, d = 2, 3, 64
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3, h, d)), dtype=jnp.float32)
+    ref = attention_reference(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+    out = flash_attention_qkv(qkv, block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref), atol=2e-5
+    )
