@@ -99,9 +99,10 @@ def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, An
     # prompt encoder
     pe = "sam_prompt_encoder"
     params["prompt_encoder"] = {
-        "pe_gaussian": _np(sd[f"{pe}.pe_layer.positional_encoding_gaussian_matrix"]).T
-        if f"{pe}.pe_layer.positional_encoding_gaussian_matrix" in sd
-        else _np(sd.get(f"{pe}.pe_layer.positional_encoding_gaussian_matrix", np.zeros((2, cfg.d_model // 2)))),
+        # torch stores (d/2, 2); this module multiplies coords @ (2, d/2)
+        "pe_gaussian": _np(
+            sd[f"{pe}.pe_layer.positional_encoding_gaussian_matrix"]
+        ).T,
         "point_embeddings": np.stack(
             [_np(sd[f"{pe}.point_embeddings.{i}.weight"])[0] for i in range(4)]
         ),
