@@ -70,6 +70,9 @@ def _add_infer(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--result-folder", default=None)
     p.add_argument("--threshold", type=float, default=0.5,
                    help="Probability threshold for binary segmentation.")
+    p.add_argument("--fused", action="store_true",
+                   help="Run the fused DINOv2+decoder pipeline directly on raw "
+                        "tomograms (CryoVIT models; no feature files needed).")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -171,6 +174,7 @@ def main(argv: list[str] | None = None) -> int:
             model_path=Path(args.model),
             result_dir=Path(args.result_folder or "."),
             threshold=args.threshold,
+            fused=args.fused,
         )
         print(f"wrote {len(written)} segmentations")
         return 0

@@ -234,3 +234,50 @@ def test_swa_with_donation_multi_epoch(experiment_env, tmp_path):
     )
     exp_dir = train_trainer(cfg)
     assert (exp_dir / "weights.msgpack").exists()
+
+
+def test_fused_inference_on_raw_tomograms(tmp_path, rng, monkeypatch):
+    """`run_inference(fused=True)`: raw tomograms → masks without feature files."""
+    import jax
+    import jax.numpy as jnp
+
+    from cryovit_tpu.models.dinov2 import DinoV2Config, make_dinov2
+    from cryovit_tpu.run.infer_model import run_inference
+    from cryovit_tpu.run.train_model import run_training
+    from cryovit_tpu.io import write_mrc
+
+    # a trained tiny cryovit .model (trained on matching tiny-dino features)
+    cfg_tiny = DinoV2Config.tiny_test()
+    dino = make_dinov2(cfg_tiny, use_flash_attention=False)
+    dino_vars = dino.init(jax.random.key(0), jnp.zeros((1, 28, 28)))
+
+    d = make_synthetic_tomogram(rng, depth=4, side=32, feature_dim=cfg_tiny.embed_dim)
+    dp, lp = tmp_path / "t.hdf", tmp_path / "l.hdf"
+    write_hdf(dp, {"data": d["data"], "dino_features": d["dino_features"]})
+    write_hdf(lp, {"mito": d["labels/mito"]})
+    model_path = run_training(
+        [dp], [lp], ["mito"], "mito", "fusedtest", tmp_path / "out",
+        num_epochs=1, **{"trainer.precision": "f32"},
+    )
+
+    # raw tomogram only (no features inside)
+    raw = tmp_path / "raw.mrc"
+    write_mrc(raw, rng.integers(0, 255, size=(4, 32, 32)).astype(np.int16))
+
+    # drive the fused path with an explicit tiny backbone (the public
+    # run_inference(fused=True) resolves the giant backbone from config)
+    from cryovit_tpu.run.infer_model import _run_fused_inference
+    from cryovit_tpu.train.checkpoint import load_model
+
+    model, variables, *_ = load_model(model_path)
+    written = _run_fused_inference(
+        [raw], model, variables, "fusedtest", "mito",
+        tmp_path / "fused_out", 0.5, dino_cfg=cfg_tiny, dino_variables=dino_vars,
+    )
+    assert len(written) == 1
+    import h5py
+
+    with h5py.File(written[0]) as f:
+        segs = np.asarray(f["mito_preds"])
+        assert segs.shape == (4, 32, 32)
+        assert segs.dtype == np.uint8
