@@ -111,12 +111,32 @@ def _scaled_resize_matrix(in_size: int, out_size: int, scale: float) -> jnp.ndar
     return jnp.asarray(mat, dtype=jnp.float32)
 
 
+class _ProjParams(nn.Module):
+    """Parameter holder with nn.Dense's exact tree layout ({kernel, bias}),
+    so the flash path can use the weights in layout-folded einsums while the
+    fallback path stays a plain matmul — one parameter format either way."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with a pluggable kernel.
 
-    ``qkv_attention_fn`` consumes the packed ``(B, N, 3, H, D)`` projection
-    directly (the transpose-free Pallas path); ``attention_fn`` takes
-    separate (q, k, v); neither → XLA einsum attention.
+    ``qkv_attention_fn`` consumes the head-major planes produced by a
+    layout-folded qkv projection (the Pallas path: the N↔H transpose is
+    absorbed into the projection matmul's output, and the inverse transpose
+    into the output projection); ``attention_fn`` takes separate (q, k, v);
+    neither → XLA einsum attention.
     """
 
     num_heads: int
@@ -127,26 +147,44 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, n, c = x.shape
-        head_dim = c // self.num_heads
-        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        h = self.num_heads
+        head_dim = c // h
+        w_qkv, b_qkv = _ProjParams(c, 3 * c, name="qkv")()
+        w_proj, b_proj = _ProjParams(c, c, name="proj")()
+        w_qkv = w_qkv.astype(self.dtype)
+        b_qkv = b_qkv.astype(self.dtype)
+        w_proj = w_proj.astype(self.dtype)
+        b_proj = b_proj.astype(self.dtype)
+        x = x.astype(self.dtype)
+
         if self.qkv_attention_fn is not None:
-            # kernel returns head-major (B, H, N, D); the single swap back is
-            # folded into the projection matmul by XLA (vs 3 input transposes)
-            out = jnp.swapaxes(self.qkv_attention_fn(qkv), 1, 2)
+            # qkv projection emits head-major planes directly: the MXU
+            # writes the transposed layout, so no transpose op exists
+            w4 = w_qkv.reshape(c, 3, h, head_dim)
+            qkv_t = jnp.einsum("bnc,cthd->tbhnd", x, w4)
+            qkv_t = qkv_t + b_qkv.reshape(3, 1, h, 1, head_dim)
+            out = self.qkv_attention_fn(
+                qkv_t[0], qkv_t[1], qkv_t[2]
+            )  # (B, H, N, D)
+            # output projection absorbs the head-major layout the same way
+            out = jnp.einsum(
+                "bhnd,hdc->bnc", out, w_proj.reshape(h, head_dim, c)
+            )
+            return out + b_proj
+
+        qkv = (x @ w_qkv + b_qkv).reshape(b, n, 3, h, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.attention_fn is not None:
+            out = self.attention_fn(q, k, v)
         else:
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            if self.attention_fn is not None:
-                out = self.attention_fn(q, k, v)
-            else:
-                scale = head_dim**-0.5
-                logits = jnp.einsum(
-                    "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-                )
-                weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-                out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+            scale = head_dim**-0.5
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+            )
+            weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
         out = out.reshape(b, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return out @ w_proj + b_proj
 
 
 class SwiGLUFFN(nn.Module):
@@ -400,9 +438,9 @@ def make_dinov2(
         scan_blocks = cfg.depth >= 12
     qkv_attention_fn = None
     if use_flash_attention:
-        from cryovit_tpu.ops.flash_attention import flash_attention_qkv
+        from cryovit_tpu.ops.flash_attention import flash_attention_bhnd
 
-        qkv_attention_fn = flash_attention_qkv
+        qkv_attention_fn = flash_attention_bhnd
     return DinoV2(
         cfg=cfg,
         dtype=dtype,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_qkv", "attention_reference"]
+__all__ = ["flash_attention", "flash_attention_bhnd", "attention_reference"]
 
 NEG_INF = -1e30
 
@@ -163,39 +163,38 @@ def flash_attention(
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
-def flash_attention_qkv(
-    qkv: jnp.ndarray,
+def flash_attention_bhnd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
     block_q: int = 512,
     block_k: int = 1536,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention on the packed ``(B, N, 3, H, D)`` qkv projection →
-    ``(B, H, N, D)`` (head-major; the caller's output swap folds into the
-    following projection matmul).
+    """Flash attention on head-major ``(B, H, N, D)`` inputs → same layout.
 
-    The (q,k,v) wrapper above pays for three separate (N↔H) transposes +
-    pads — measured as expensive as the attention math itself (47 ms vs
-    43 ms per ViT-g block batch on v5e). Here a single fused pad+transpose
-    of the packed tensor prepares q, k, and v at once (~3× less layout
-    traffic) and the output stays head-major. (A fully transpose-free
-    variant — blocks mapped over the packed head axis — is blocked by
-    current Mosaic constraints: last-two-dims tiling and
-    batch-dims-at-position-0.)
+    Companion to the layout-folded qkv projection in
+    ``models/dinov2.py:Attention``: the projection matmul emits head-major
+    planes directly and the output projection consumes them, so this path
+    performs ZERO transpose ops — reshapes here are free views, only the
+    token axis gets padded. (XLA TPU transposes with 64-element minor dims
+    ran at ~40 GB/s and cost as much as the attention math itself; a fully
+    in-kernel packed-qkv variant is blocked by Mosaic tiling/batch-dim
+    constraints.)
     """
-    b, n, three, h, d = qkv.shape
-    assert three == 3
+    b, h, n, d = q.shape
     scale = d**-0.5
     block_q = min(block_q, _round_up(n, 128))
     block_k = min(block_k, _round_up(n, 128))
     npad = _round_up(n, max(block_q, block_k))
-    if npad != n:
-        qkv = jnp.pad(qkv, ((0, 0), (0, npad - n), (0, 0), (0, 0), (0, 0)))
-    # one fused layout change covering q, k, and v
-    qkv_t = jnp.transpose(qkv, (2, 0, 3, 1, 4)).reshape(3 * b * h, npad, d)
-    qf = qkv_t[: b * h]
-    kf = qkv_t[b * h : 2 * b * h]
-    vf = qkv_t[2 * b * h :]
 
+    def prep(x):
+        x = x.reshape(b * h, n, d)
+        if npad != n:
+            x = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+        return x
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
     grid = (b * h, npad // block_q)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, kv_len=n, scale=scale),
@@ -214,11 +213,11 @@ def flash_attention_qkv(
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, npad, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, npad, d), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * n * d,
-            bytes_accessed=qkv.size * 2 + b * npad * h * d * 2,
+            bytes_accessed=(qf.size + kf.size + vf.size + b * h * npad * d) * 2,
             transcendentals=b * h * n * n,
         ),
     )(qf, kf, vf)

@@ -247,14 +247,38 @@ def test_scan_init_structure():
 
 
 @pytest.mark.parametrize("n", [64, 333])
-def test_flash_attention_qkv_matches_reference(rng, n):
-    """Packed-qkv kernel (head-major output) vs the XLA oracle."""
-    from cryovit_tpu.ops.flash_attention import flash_attention_qkv
+def test_flash_attention_bhnd_matches_reference(rng, n):
+    """Head-major kernel (zero-transpose path) vs the XLA oracle."""
+    from cryovit_tpu.ops.flash_attention import flash_attention_bhnd
 
     b, h, d = 2, 3, 64
-    qkv = jnp.asarray(rng.standard_normal((b, n, 3, h, d)), dtype=jnp.float32)
-    ref = attention_reference(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
-    out = flash_attention_qkv(qkv, block_q=128, block_k=128, interpret=True)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, n, d)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    ref = attention_reference(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    )
+    out = flash_attention_bhnd(q, k, v, block_q=128, block_k=128, interpret=True)
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref), atol=2e-5
     )
+
+
+def test_dinov2_flash_path_matches_xla_path(rng):
+    """The layout-folded einsum + head-major kernel path must equal the
+    plain XLA attention path on the same params."""
+    from cryovit_tpu.ops.flash_attention import flash_attention_bhnd
+    import functools
+
+    cfg = DinoV2Config.tiny_test()
+    x = jnp.asarray(rng.random((1, 56, 70)), dtype=jnp.float32)
+    model_xla = DinoV2(cfg=cfg, dtype=jnp.float32)
+    variables = model_xla.init(jax.random.key(0), x)
+    ref = model_xla.apply(variables, x)
+    model_flash = DinoV2(
+        cfg=cfg, dtype=jnp.float32,
+        qkv_attention_fn=functools.partial(flash_attention_bhnd, interpret=True),
+    )
+    out = model_flash.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

@@ -281,3 +281,38 @@ def test_fused_inference_on_raw_tomograms(tmp_path, rng, monkeypatch):
         segs = np.asarray(f["mito_preds"])
         assert segs.shape == (4, 32, 32)
         assert segs.dtype == np.uint8
+
+
+def test_mito_mask_applies_at_test_only(experiment_env, tmp_path, rng):
+    """additional_keys=[labels/mito] gates test metrics by the ground-truth
+    mito mask (reference base_model.py:91-112 + test_step), while fit-time
+    validation ignores it."""
+    data_dir = experiment_env
+    cfg = _exp_cfg(data_dir, tmp_path, extra=("trainer.max_epochs=1",))
+    train_trainer(cfg)
+
+    base_overrides = [
+        "model=cryovit", "datamodule=single", "label_key=mito",
+        "datamodule.sample=AD", "datamodule.split_id=1",
+        "datamodule.test_sample=Young",
+        f"paths.data_dir={data_dir}", f"paths.exp_dir={tmp_path / 'results'}",
+        "name=" + str(cfg.name),
+    ]
+    plain = eval_trainer(compose("eval_model", base_overrides))
+    masked = eval_trainer(
+        compose("eval_model", base_overrides + ["additional_keys=[data, labels/mito]"])
+    )
+    # the mito mask restricts the metric support → scores must differ
+    d_plain = [r.metrics["dice_metric"] for r in plain]
+    d_masked = [r.metrics["dice_metric"] for r in masked]
+    assert d_plain != d_masked
+    # and use_mito_mask=False disables it again (multi_granule experiment)
+    disabled = eval_trainer(
+        compose(
+            "eval_model",
+            base_overrides
+            + ["additional_keys=[data, labels/mito]",
+               "model.custom_kwargs={use_mito_mask: false}"],
+        )
+    )
+    assert [r.metrics["dice_metric"] for r in disabled] == pytest.approx(d_plain, abs=1e-6)
