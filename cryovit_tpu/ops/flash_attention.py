@@ -167,7 +167,7 @@ def flash_attention_bhnd(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 512,
+    block_q: int | None = None,
     block_k: int = 1536,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -184,18 +184,27 @@ def flash_attention_bhnd(
     """
     b, h, n, d = q.shape
     scale = d**-0.5
+    if block_q is None:
+        # single query block when it fits VMEM (scores block_q×block_k f32
+        # ≤ ~8 MB): zero query padding waste — measured 39.9 vs 37.0
+        # slices/s on ViT-g (n=1029, where fixed bq512 over-pads 33%)
+        block_q = _round_up(n, 128) if n <= 1280 else 512
     block_q = min(block_q, _round_up(n, 128))
     block_k = min(block_k, _round_up(n, 128))
-    npad = _round_up(n, max(block_q, block_k))
+    # q and kv pad independently to their own block quanta: one shared
+    # quantum either truncates the query grid (npad // block_q drops the
+    # final partial block) or over-pads queries to block_k multiples
+    nq = _round_up(n, block_q)
+    nk = _round_up(n, block_k)
 
-    def prep(x):
+    def prep(x, length):
         x = x.reshape(b * h, n, d)
-        if npad != n:
-            x = jnp.pad(x, ((0, 0), (0, npad - n), (0, 0)))
+        if length != n:
+            x = jnp.pad(x, ((0, 0), (0, length - n), (0, 0)))
         return x
 
-    qf, kf, vf = prep(q), prep(k), prep(v)
-    grid = (b * h, npad // block_q)
+    qf, kf, vf = prep(q, nq), prep(k, nk), prep(v, nk)
+    grid = (b * h, nq // block_q)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, kv_len=n, scale=scale),
         grid=grid,
@@ -204,20 +213,20 @@ def flash_attention_bhnd(
                 (1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, npad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
+                (1, nk, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, npad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
+                (1, nk, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, npad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * n * d,
-            bytes_accessed=(qf.size + kf.size + vf.size + b * h * npad * d) * 2,
+            bytes_accessed=(qf.size + kf.size + vf.size + b * h * nq * d) * 2,
             transcendentals=b * h * n * n,
         ),
     )(qf, kf, vf)

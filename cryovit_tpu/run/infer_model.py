@@ -33,8 +33,12 @@ def run_inference(
     result_dir = Path(result_dir)
     model, variables, model_type, model_name, label_key = load_model(model_path)
     if fused:
+        if overrides:
+            raise ValueError(
+                f"config overrides are not supported with fused=True: {overrides}"
+            )
         return _run_fused_inference(
-            data, model, variables, model_name, label_key, result_dir, threshold
+            data, model, variables, label_key, result_dir, threshold
         )
 
     ov = [
@@ -59,7 +63,6 @@ def _run_fused_inference(
     data: list[Path],
     model,
     decoder_variables,
-    model_name: str,
     label_key: str,
     result_dir: Path,
     threshold: float,
@@ -77,10 +80,11 @@ def _run_fused_inference(
     from cryovit_tpu.run.dino_features import load_dinov2_variables
     from cryovit_tpu.types import BatchedModelResult, ModelType
 
-    assert model.model_type == ModelType.CRYOVIT, (
-        "fused inference streams DINOv2 features into the CryoVIT decoder; "
-        f"got model type {model.model_type}"
-    )
+    if model.model_type != ModelType.CRYOVIT:
+        raise ValueError(
+            "fused inference streams DINOv2 features into the CryoVIT "
+            f"decoder; got model type {model.model_type.value!r}"
+        )
     if dino_variables is None:
         cfg = compose("dino_features")
         dino_variables, _ = load_dinov2_variables(cfg.model_dir, cfg=dino_cfg)

@@ -282,3 +282,23 @@ def test_dinov2_flash_path_matches_xla_path(rng):
     )
     out = model_flash.apply(variables, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_flash_attention_bhnd_partial_final_block(rng):
+    """Regression: when round_up(n, block_k) is not a multiple of block_q the
+    final query block must still be computed (a shared padding quantum used
+    to truncate the grid and return uninitialized rows)."""
+    from cryovit_tpu.ops.flash_attention import flash_attention_bhnd
+
+    b, h, n, d = 1, 2, 300, 64  # block_q=256, block_k=384 → old npad 384//256=1
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, n, d)), dtype=jnp.float32)
+        for _ in range(3)
+    )
+    ref = attention_reference(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
+    )
+    out = flash_attention_bhnd(q, k, v, block_q=256, block_k=384, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref), atol=2e-5
+    )

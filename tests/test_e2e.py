@@ -271,7 +271,7 @@ def test_fused_inference_on_raw_tomograms(tmp_path, rng, monkeypatch):
 
     model, variables, *_ = load_model(model_path)
     written = _run_fused_inference(
-        [raw], model, variables, "fusedtest", "mito",
+        [raw], model, variables, "mito",
         tmp_path / "fused_out", 0.5, dino_cfg=cfg_tiny, dino_variables=dino_vars,
     )
     assert len(written) == 1
