@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
         description="TPU-native cryo-electron tomogram segmentation "
         "(DINOv2 features + CryoVIT / 3D U-Net / SAM2).",
     )
+    parser.add_argument(
+        "--version", action="version",
+        version=f"cryovit_tpu {__import__('cryovit_tpu').__version__}",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
     _add_features(sub)
     _add_train(sub)

@@ -77,8 +77,20 @@ class SAM2(BaseModel):
         custom = dict(kwargs.get("custom_kwargs") or {})
         self.prompt_lr = float(custom.pop("prompt_lr", 3e-5))
         self.use_cache_features = bool(custom.pop("use_cache_features", False))
-        self.num_init_cond_slices = custom.pop("num_init_cond_slices", (1, 1))
+        self.num_init_cond_slices = tuple(custom.pop("num_init_cond_slices", (1, 1)))
         self.rand_init_cond_slices = custom.pop("rand_init_cond_slices", (True, False))
+        if any(int(n) != 1 for n in self.num_init_cond_slices):
+            # the shipped config uses exactly one conditioning slice
+            # ((1, 1), configs/model/default_sam.yaml); the compiled
+            # tracking scan is specialized to that — more cond slices is a
+            # follow-up (would process extra cond slices before the scan)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "num_init_cond_slices=%s requested; this build tracks with "
+                "exactly 1 conditioning slice (the shipped default)",
+                self.num_init_cond_slices,
+            )
         kwargs["custom_kwargs"] = custom
         super().__init__(**kwargs)
         if self.name.lower().startswith("medsam"):
