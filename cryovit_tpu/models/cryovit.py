@@ -7,15 +7,27 @@ sigmoid. Net effect: 16× H/W upsampling from the DINO patch grid back to
 voxel resolution; depth untouched.
 
 TPU-native design notes:
-- channels-last ``(B, D, H, W, C)`` layout so XLA maps convs onto the MXU
-  without layout transposes,
-- exact (erf) GELU to match torch's default,
-- a ``dtype`` policy for bf16 compute with f32 params (replaces the
-  reference's Lightning "16-mixed").
+- the low-resolution front (1536→1024→128 channels at the patch grid) runs
+  channels-last so XLA maps the wide matmul-like convs onto the MXU,
+- the high-resolution tail (≤32 channels at ≥¼ voxel resolution) runs
+  **channels-second** ``(B, C, D, H, W)``: with 8–32 channels on the
+  128-lane axis, XLA's padded layouts blow activations up 4–16× (a 138 MB
+  logical tensor was observed to allocate 17.7 GB in the backward pass);
+  with W on the lane axis the buffers stay dense and the reference's full
+  128×512×512 training crop fits on a 16 GB v5e chip,
+- the parameter tree is identical in either layout (explicitly named
+  holders matching flax's auto names), so checkpoints and the torch
+  weight-mapping are layout-agnostic,
+- ``remat=True`` rematerializes each synthesis block in the backward pass
+  (the reference trains on 80 GB A100s; remat trades ~⅓ extra block FLOPs
+  for fitting on 16 GB HBM),
+- exact (erf) GELU to match torch's default; bf16 compute policy replaces
+  the reference's Lightning "16-mixed".
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -26,6 +38,163 @@ def _gelu(x: jnp.ndarray) -> jnp.ndarray:
     return nn.gelu(x, approximate=False)
 
 
+class _ConvParams(nn.Module):
+    """Kernel/bias holder with nn.Conv's exact param layout."""
+
+    kshape: tuple[int, int, int]
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kshape, self.features_in, self.features_out),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
+
+
+class _NormParams(nn.Module):
+    """Scale/bias holder with nn.GroupNorm's exact param layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_cs_core(x, kernel, dilation):
+    """3D conv on channels-second ``(B, C, D, H, W)`` input, SAME padding,
+    k=3 per spatial dim, with a custom backward.
+
+    XLA's default weight-gradient algorithm for few-channel convs emits an
+    im2col copy whose minor dims are (C_in, taps) — lane padding inflated a
+    0.8 GB buffer to 13–26 GB and made the reference training crop
+    un-compilable on 16 GB HBM. The custom VJP computes dW as a conv with
+    swapped batch/feature roles so every buffer keeps large spatial minor
+    dims.
+    """
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        rhs_dilation=dilation,
+        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+    )
+
+
+def _conv_cs_fwd(x, kernel, dilation):
+    return _conv_cs_core(x, kernel, dilation), (x, kernel)
+
+
+def _conv_cs_bwd(dilation, res, g):
+    x, kernel = res
+    # input grad: conv with the spatially-flipped, in/out-swapped kernel
+    dx = jax.lax.conv_general_dilated(
+        g,
+        jnp.flip(kernel, (0, 1, 2)).swapaxes(3, 4),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        rhs_dilation=dilation,
+        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+    )
+    # weight grad as a conv: lhs = x with (C_in→batch, B→feature) roles,
+    # rhs = g as the "kernel" (B→input-feature, C_out→output-feature);
+    # output spatial = the 3 taps, stepping by the forward dilation
+    pads = [(d, d) for d in dilation]  # SAME pads of the k=3 dilated forward
+    if x.shape[0] == 1:
+        # (1, C, ...) → (C, 1, ...) is a pure reshape; a swapaxes here was
+        # observed to materialize with a 32×-padded layout
+        x_cn = x.reshape(x.shape[1], 1, *x.shape[2:])
+    else:
+        x_cn = jnp.swapaxes(x, 0, 1)
+    dw = jax.lax.conv_general_dilated(
+        x_cn,  # (C_in, B, D, H, W)
+        g,  # (B, C_out, D, H, W) read as IODHW
+        window_strides=dilation,
+        padding=pads,
+        dimension_numbers=("NCDHW", "IODHW", "NCDHW"),
+    )  # → (C_in, C_out, 3, 3, 3)
+    dw = jnp.transpose(dw, (2, 3, 4, 0, 1)).astype(kernel.dtype)
+    return dx.astype(x.dtype), dw
+
+
+_conv_cs_core.defvjp(_conv_cs_fwd, _conv_cs_bwd)
+
+
+def _conv_cs(x, kernel, bias, dilation=(1, 1, 1), dtype=jnp.float32):
+    """3D conv on channels-second ``(B, C, D, H, W)`` input, SAME padding."""
+    y = _conv_cs_core(x.astype(dtype), kernel.astype(dtype), tuple(dilation))
+    return y + bias.astype(dtype).reshape(1, -1, 1, 1, 1)
+
+
+def _conv_transpose_cs(x, kernel, bias, strides, dtype=jnp.float32):
+    """ConvTranspose (flax convention: unflipped kernel) channels-second."""
+    y = jax.lax.conv_transpose(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        strides=strides,
+        padding="VALID",
+        dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
+        transpose_kernel=False,
+    )
+    return y + bias.astype(dtype).reshape(1, -1, 1, 1, 1)
+
+
+def _group_norm_cs(x, scale, bias, groups: int, eps: float, dtype):
+    """GroupNorm on channels-second input (stats in f32, flax-equivalent)."""
+    b, c = x.shape[:2]
+    spatial = x.shape[2:]
+    xg = x.astype(jnp.float32).reshape(b, groups, -1)
+    mean = xg.mean(axis=2, keepdims=True)
+    var = xg.var(axis=2, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(b, c, *spatial).astype(dtype)
+    return x * scale.astype(dtype).reshape(1, -1, 1, 1, 1) + bias.astype(
+        dtype
+    ).reshape(1, -1, 1, 1, 1)
+
+
+def _mask_head_conv(x, kernel, bias, dtype):
+    """Final 8→1-channel 3³ conv as an explicit 27-tap einsum sum.
+
+    Emitting the mask through a regular conv produces a rank-5 tensor with
+    TWO unit dims — XLA's backward assigned those to the (sublane, lane)
+    tile axes, inflating a 33 MB gradient buffer to 8 GB. Summing shifted
+    single-tap contractions keeps every tensor at ``(B, C|∅, D, H, W)``
+    with dense spatial minor dims, is autodiff-friendly, and is VPU-cheap
+    (27 fused multiply-adds over 8 channels).
+
+    x: ``(B, 8, D, H, W)``; kernel: ``(3, 3, 3, 8, 1)`` → ``(B, D, H, W)``.
+    """
+    x = x.astype(dtype)
+    kernel = kernel.astype(dtype)
+    d, h, w = x.shape[2:]
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+    y = jnp.zeros(x.shape[:1] + x.shape[2:], dtype=dtype)
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                window = xp[:, :, kd : kd + d, kh : kh + h, kw : kw + w]
+                # multiply+sum rather than einsum/dot: a dot would prefer
+                # the contraction (channel) dim minor and push that layout
+                # into the operand gradients — the exact pathology this
+                # function exists to avoid
+                taps = kernel[kd, kh, kw, :, 0].reshape(1, -1, 1, 1, 1)
+                y = y + jnp.sum(window * taps, axis=1)
+    return y + bias.astype(dtype)[0]
+
+
 class SynthesisBlock(nn.Module):
     """Anisotropic upscaling block (reference ``cryovit.py:52-83``).
 
@@ -33,6 +202,9 @@ class SynthesisBlock(nn.Module):
     → GELU → Conv3d k3 dilation (d2,1,1) → GELU → ConvTranspose (1,2,2)
     stride (1,2,2) → GELU. Dilations act on depth only: the receptive field
     spans many z-slices while H/W stay local.
+
+    ``channels_second=True`` computes on ``(B, C, D, H, W)`` with the same
+    parameter tree (see module docstring for why).
     """
 
     c2: int
@@ -40,33 +212,45 @@ class SynthesisBlock(nn.Module):
     d1: int
     d2: int
     dtype: jnp.dtype = jnp.float32
+    channels_second: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c1 = x.shape[-1]
-        x = nn.GroupNorm(
-            num_groups=max(8, c1 // 8), epsilon=1e-3, dtype=self.dtype
-        )(x)
-        x = nn.Conv(
-            self.c2,
-            kernel_size=(3, 3, 3),
-            kernel_dilation=(self.d1, 1, 1),
-            padding="SAME",
-            dtype=self.dtype,
-        )(x)
-        x = _gelu(x)
-        x = nn.Conv(
-            self.c2,
-            kernel_size=(3, 3, 3),
-            kernel_dilation=(self.d2, 1, 1),
-            padding="SAME",
-            dtype=self.dtype,
-        )(x)
-        x = _gelu(x)
-        x = nn.ConvTranspose(
-            self.c3, kernel_size=(1, 2, 2), strides=(1, 2, 2), dtype=self.dtype
-        )(x)
-        return _gelu(x)
+        c1 = x.shape[1] if self.channels_second else x.shape[-1]
+        groups = max(8, c1 // 8)
+        if not self.channels_second:
+            x = nn.GroupNorm(num_groups=groups, epsilon=1e-3, dtype=self.dtype)(x)
+            x = nn.Conv(
+                self.c2,
+                kernel_size=(3, 3, 3),
+                kernel_dilation=(self.d1, 1, 1),
+                padding="SAME",
+                dtype=self.dtype,
+            )(x)
+            x = _gelu(x)
+            x = nn.Conv(
+                self.c2,
+                kernel_size=(3, 3, 3),
+                kernel_dilation=(self.d2, 1, 1),
+                padding="SAME",
+                dtype=self.dtype,
+            )(x)
+            x = _gelu(x)
+            x = nn.ConvTranspose(
+                self.c3, kernel_size=(1, 2, 2), strides=(1, 2, 2), dtype=self.dtype
+            )(x)
+            return _gelu(x)
+
+        # channels-second path: identical math and params, lane-friendly layout
+        gn_scale, gn_bias = _NormParams(c1, name="GroupNorm_0")()
+        w0, b0 = _ConvParams((3, 3, 3), c1, self.c2, name="Conv_0")()
+        w1, b1 = _ConvParams((3, 3, 3), self.c2, self.c2, name="Conv_1")()
+        wt, bt = _ConvParams((1, 2, 2), self.c2, self.c3, name="ConvTranspose_0")()
+        x = _group_norm_cs(x, gn_scale, gn_bias, groups, 1e-3, self.dtype)
+        x = _gelu(_conv_cs(x, w0, b0, (self.d1, 1, 1), self.dtype))
+        x = _gelu(_conv_cs(x, w1, b1, (self.d2, 1, 1), self.dtype))
+        x = _gelu(_conv_transpose_cs(x, wt, bt, (1, 2, 2), self.dtype))
+        return x
 
 
 class CryoVITModule(nn.Module):
@@ -77,18 +261,29 @@ class CryoVITModule(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block = nn.remat(SynthesisBlock) if self.remat else SynthesisBlock
         x = x.astype(self.dtype)
         x = nn.Conv(1024, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
         x = _gelu(x)
-        x = SynthesisBlock(192, 128, d1=32, d2=24, dtype=self.dtype)(x)
-        x = SynthesisBlock(64, 32, d1=16, d2=12, dtype=self.dtype)(x)
-        x = SynthesisBlock(32, 32, d1=8, d2=4, dtype=self.dtype)(x)
-        x = SynthesisBlock(16, 8, d1=2, d2=1, dtype=self.dtype)(x)
-        x = nn.Conv(8, kernel_size=(3, 3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = _gelu(x)
-        x = nn.Conv(1, kernel_size=(3, 3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = block(192, 128, d1=32, d2=24, dtype=self.dtype, name="SynthesisBlock_0")(x)
+        x = block(64, 32, d1=16, d2=12, dtype=self.dtype, name="SynthesisBlock_1")(x)
+        # switch to channels-second for the lane-hostile high-res tail
+        x = jnp.moveaxis(x, -1, 1)
+        x = block(
+            32, 32, d1=8, d2=4, dtype=self.dtype, channels_second=True,
+            name="SynthesisBlock_2",
+        )(x)
+        x = block(
+            16, 8, d1=2, d2=1, dtype=self.dtype, channels_second=True,
+            name="SynthesisBlock_3",
+        )(x)
+        w1, b1 = _ConvParams((3, 3, 3), 8, 8, name="Conv_1")()
+        w2, b2 = _ConvParams((3, 3, 3), 8, 1, name="Conv_2")()
+        x = _gelu(_conv_cs(x, w1, b1, dtype=self.dtype))
+        x = _mask_head_conv(x, w2, b2, self.dtype)
         x = jnp.clip(x.astype(jnp.float32), -5.0, 5.0)
-        return nn.sigmoid(x[..., 0])
+        return nn.sigmoid(x)

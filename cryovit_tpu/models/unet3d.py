@@ -105,5 +105,9 @@ class UNet3DModule(nn.Module):
             x = SynthesisBlock(feats, dtype=self.dtype)(x, skips.pop())
 
         x = nn.Conv(1, (1, 1, 1), dtype=self.dtype)(x)
-        x = jnp.clip(x.astype(jnp.float32), -5.0, 5.0)
-        return nn.sigmoid(x[..., 0])
+        # squeeze the channel BEFORE the elementwise tail: a trailing dim
+        # of 1 would sit on the 128-lane axis and blow up backward buffers
+        # 128x (observed 17.7 GB for a 138 MB logical tensor)
+        x = x[..., 0].astype(jnp.float32)
+        x = jnp.clip(x, -5.0, 5.0)
+        return nn.sigmoid(x)
