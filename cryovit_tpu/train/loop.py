@@ -29,7 +29,8 @@ import numpy as np
 import optax
 
 from cryovit_tpu.models.base import BaseModel, prediction_mask
-from cryovit_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from cryovit_tpu.parallel.mesh import make_mesh, replicate
+from cryovit_tpu.parallel.spatial import place_batch
 from cryovit_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from cryovit_tpu.train.swa import StochasticWeightAveraging
 from cryovit_tpu.types import BatchedModelResult, TomogramBatch, TomogramData
@@ -155,11 +156,10 @@ class Trainer:
     def _place(self, batch: TomogramBatch) -> TomogramBatch:
         if self.mesh is None:
             return batch
-        n = self.mesh.shape.get("data", 1)
-        if batch.data.shape[0] % n:
-            # replicate odd batches instead of failing (e.g. batch 1 on 8 chips)
-            return replicate(batch, self.mesh)
-        return shard_batch(batch, self.mesh)
+        # batch axis if divisible, else depth axis (reference default is
+        # batch = 1 tomogram — spatial sharding is the only way a mesh
+        # helps there), else replicate with a warning.
+        return place_batch(batch, self.mesh)
 
     def _log(self, step: int, logs: dict[str, Any]) -> None:
         scalars = {k: float(v) for k, v in logs.items()}

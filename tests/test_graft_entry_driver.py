@@ -1,0 +1,60 @@
+"""Driver-environment tests for ``__graft_entry__.dryrun_multichip``.
+
+Round-1 failed the multi-chip gate because the dryrun assumed 8 devices
+already existed (VERDICT.md weak #1/#2): the in-process test under
+``conftest.py``'s forced CPU×8 platform could never catch it. These tests
+launch fresh subprocesses with a *clean* environment — exactly as the
+driver does — so self-provisioning of virtual CPU devices is what's under
+test, not the conftest.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _clean_env():
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")
+        and not k.startswith("_CRYOVIT")
+    }
+    env["PYTHONPATH"] = str(REPO)
+    return env
+
+
+def _run(code: str) -> subprocess.CompletedProcess:
+    return subprocess.run(
+        [sys.executable, "-c", code],
+        env=_clean_env(),
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+
+
+def test_dryrun_fresh_process():
+    """The driver's invocation: no conftest, no XLA_FLAGS, jax unimported."""
+    res = _run(
+        "import __graft_entry__\n__graft_entry__.dryrun_multichip(8)\n"
+    )
+    assert res.returncode == 0, f"stderr:\n{res.stderr[-4000:]}"
+    assert "dryrun_multichip ok" in res.stdout, res.stdout
+
+
+def test_dryrun_backend_already_initialized():
+    """Backend pre-initialized with 1 device (the round-1 failure mode):
+    must fall back to a fresh subprocess rather than crash."""
+    res = _run(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert jax.device_count() == 1\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )
+    assert res.returncode == 0, f"stderr:\n{res.stderr[-4000:]}"

