@@ -27,6 +27,7 @@ __all__ = [
     "PredictionWriter",
     "CsvWriter",
     "TensorBoardLogger",
+    "WandbLogger",
 ]
 
 
@@ -176,3 +177,56 @@ class TensorBoardLogger:
     def close(self) -> None:
         if self._writer is not None:
             self._writer.close()
+
+
+class WandbLogger:
+    """Weights & Biases scalar/hparam logging (reference
+    ``configs/logger/wandb.yaml`` + hparam logging at
+    ``run/train_model.py:251-287``). The import is guarded: in air-gapped
+    deployments wandb is absent and the logger degrades to a no-op with a
+    warning, keeping TensorBoard as the default observability path."""
+
+    def __init__(
+        self,
+        save_dir: str | Path,
+        entity: str | None = None,
+        project: str = "CryoVIT",
+        group: str | None = None,
+        log_model: bool = False,
+        config: dict[str, Any] | None = None,
+        **_: object,
+    ) -> None:
+        self._run = None
+        try:
+            import wandb
+        except ImportError:
+            logger.warning(
+                "wandb is not installed; WandbLogger is a no-op "
+                "(use logger=tensorboard or pip install wandb)"
+            )
+            return
+        try:
+            self._run = wandb.init(
+                dir=str(save_dir),
+                entity=entity,
+                project=project,
+                group=group,
+                config=config or {},
+            )
+        except Exception as e:  # pragma: no cover - network/auth failures
+            logger.warning("wandb.init failed (%s); scalars not logged", e)
+
+    def log_scalars(self, scalars: dict[str, float], step: int) -> None:
+        if self._run is not None:
+            self._run.log(scalars, step=step)
+
+    def log_hparams(self, hparams: dict[str, Any]) -> None:
+        if self._run is not None:
+            self._run.config.update(
+                {k: v for k, v in hparams.items() if isinstance(v, (int, float, str, bool, type(None)))},
+                allow_val_change=True,
+            )
+
+    def close(self) -> None:
+        if self._run is not None:
+            self._run.finish()

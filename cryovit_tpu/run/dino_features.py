@@ -209,8 +209,12 @@ def run_dino(
 
     assert len(train_data) > 0, "No valid tomogram files found."
     if use_sam:
-        raise NotImplementedError(
-            "SAM2 feature extraction lands with the SAM2 model family."
+        # reference run_dino(use_sam=True) routes to the SAM2 encoder
+        # (reference run/dino_features.py:211-298); delegate to run_sam.
+        from cryovit_tpu.run.sam_features import run_sam
+
+        return run_sam(
+            train_data, result_dir, batch_size=batch_size, random_init=random_init
         )
     cfg = compose("dino_features", [f"batch_size={batch_size}"])
     variables, _ = load_dinov2_variables(

@@ -103,6 +103,35 @@ def run_trainer(cfg: DotDict):
     if cfg.get("resume_ckpt"):
         trainer.enable_checkpointing = True
 
+    # hparam logging (reference run/train_model.py:251-287)
+    if trainer.loggers:
+        dm = cfg.get("datamodule", {})
+        sample = dm.get("sample")
+        hparams = {
+            "datamodule_type": str(dm.get("_target_", "")),
+            "model_name": cfg.model.name,
+            "label_key": cfg.label_key,
+            "experiment": cfg.name,
+            "split_id": dm.get("split_id"),
+            "sample": (
+                "_".join(sorted(map(str, sample)))
+                if isinstance(sample, (list, tuple))
+                else sample
+            ),
+            "test_sample": dm.get("test_sample"),
+            "resume_ckpt": cfg.get("resume_ckpt"),
+            "ckpt_path": cfg.get("ckpt_path"),
+            "seed": cfg.get("random_seed", 42),
+            "lr": cfg.model.get("lr"),
+            "weight_decay": cfg.model.get("weight_decay"),
+        }
+        if "sam2" in str(cfg.model.get("_target_", "")).lower():
+            custom = cfg.model.get("custom_kwargs") or {}
+            hparams["prompt_lr"] = custom.get("prompt_lr")
+        for lg in trainer.loggers:
+            if hasattr(lg, "log_hparams"):
+                lg.log_hparams(hparams)
+
     ckpt = exp_dir / "last.ckpt"
     state = trainer.fit(
         model,

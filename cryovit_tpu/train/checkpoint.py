@@ -111,13 +111,38 @@ def load_model(
     model_path = Path(model_path)
     if not model_path.exists():
         raise FileNotFoundError(f"Model file {model_path} does not exist.")
-    with open(model_path, "rb") as f:
-        artifact: SavedModel = pickle.load(f)
+    try:
+        with open(model_path, "rb") as f:
+            artifact: SavedModel = pickle.load(f)
+    except (ModuleNotFoundError, AttributeError, pickle.UnpicklingError):
+        # reference-trained torch `.model` pickle (reference
+        # utils.py:354-381) — import and convert the weights in place.
+        return _load_reference_model(model_path, load_weights_flag)
+    if not isinstance(artifact, SavedModel):
+        return _load_reference_model(model_path, load_weights_flag)
     model, variables = None, None
     if load_weights_flag:
         model = instantiate(artifact.model_cfg)
         variables = serialization.msgpack_restore(artifact.weights)
     return model, variables, artifact.model_type, artifact.name, artifact.label_key
+
+
+def _load_reference_model(model_path: Path, load_weights_flag: bool):
+    """Ingest a reference torch ``.model`` artifact: unpickle without the
+    reference package, convert the state dict to flax, and rebuild the
+    model family from our own composed config."""
+    from cryovit_tpu.config import compose
+    from cryovit_tpu.train.torch_import import convert_state_dict, load_reference_model
+
+    name, model_type, label_key, sd = load_reference_model(model_path)
+    model, variables = None, None
+    if load_weights_flag:
+        variables, _ = convert_state_dict(sd, model_type)
+        cfg = compose(
+            "infer_model", [f"model={model_type.value}", f"label_key={label_key}"]
+        )
+        model = instantiate(cfg.model)
+    return model, variables, model_type, name, label_key
 
 
 # ---- raw weights (state-dict equivalent) ---------------------------------
@@ -130,7 +155,19 @@ def save_weights(path: str | Path, variables) -> None:
 
 
 def load_weights(path: str | Path, template=None):
-    data = Path(path).read_bytes()
+    """Load a weights file: flax msgpack, or a reference torch
+    ``weights.pt`` (detected by its zip container and converted)."""
+    from cryovit_tpu.train.torch_import import (
+        convert_state_dict,
+        is_torch_zip,
+        load_torch_state_dict,
+    )
+
+    path = Path(path)
+    if is_torch_zip(path):
+        variables, _ = convert_state_dict(load_torch_state_dict(path))
+        return variables
+    data = path.read_bytes()
     if template is not None:
         return serialization.from_bytes(template, data)
     return serialization.msgpack_restore(data)

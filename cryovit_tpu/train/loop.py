@@ -128,15 +128,29 @@ class Trainer:
             logs.update(
                 {f"train_{k}": v for k, v in model.compute_metrics(preds, label, mask).items()}
             )
-            # raw gradient norm (the reference logs the post-clip norm,
-            # base_model.py:77-89; the pre-clip norm is what explosion
-            # monitoring actually needs and is accessible without
-            # splitting the optimizer chain)
-            logs["grad_norm"] = _global_norm(grads)
+            # reference logs the post-clip norm (base_model.py:77-89);
+            # we log both — pre-clip is what explosion monitoring needs.
+            pre_norm = _global_norm(grads)
+            logs["grad_norm_preclip"] = pre_norm
+            logs["grad_norm"] = self._postclip_norm(grads, pre_norm)
             return new_state, logs
 
         donate = (0,) if self.donate_state else ()
         return jax.jit(step, donate_argnums=donate)
+
+    def _postclip_norm(self, grads, pre_norm: jnp.ndarray) -> jnp.ndarray:
+        """Global grad norm *after* clipping (reference telemetry,
+        base_model.py:77-89), without splitting the optimizer chain:
+        global-norm clipping rescales so the norm is min(pre, clip_val);
+        value clipping needs an explicit elementwise clip."""
+        if self.gradient_clip_val is None:
+            return pre_norm
+        clip = float(self.gradient_clip_val)
+        if self.gradient_clip_algorithm == "norm":
+            return jnp.minimum(pre_norm, clip)
+        return _global_norm(
+            jax.tree_util.tree_map(lambda g: jnp.clip(g, -clip, clip), grads)
+        )
 
     def _eval_step_fn(self, model: BaseModel) -> Callable:
         def step(params, data, label, aux_mask):
