@@ -47,6 +47,9 @@ class BaseModel:
     """
 
     model_type: ModelType
+    # set by the Trainer around train epochs; consumed by families whose
+    # input preparation is phase-dependent (SAM2 cond-slice sampling)
+    train_mode: bool = False
 
     def __init__(
         self,

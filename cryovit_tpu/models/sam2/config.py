@@ -73,6 +73,10 @@ class SAM2Config:
     iou_head_depth: int = 3
     max_obj_ptrs: int = 16
     no_obj_score: float = -1024.0  # reference models/sam2.py:45
+    # capacity of the conditioning-memory slots (reference trains with a
+    # random number of init cond slices up to num_init_cond_slices,
+    # models/sam2.py:404-443); the bank reserves this many cond slots
+    max_cond_slices: int = 1
 
     @property
     def embed_size(self) -> int:

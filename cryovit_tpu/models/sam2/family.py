@@ -45,7 +45,11 @@ class _SAM2Forward(nn.Module):
 
     @nn.compact
     def __call__(
-        self, data: jnp.ndarray, backbone: dict | None = None
+        self,
+        data: jnp.ndarray,
+        backbone: dict | None = None,
+        order: jnp.ndarray | None = None,
+        num_cond=None,
     ) -> dict[str, jnp.ndarray]:
         # data: (B, D, H, W, 1) voxel volumes in [0, 1]
         b, d, h, w = data.shape[:4]
@@ -56,7 +60,9 @@ class _SAM2Forward(nn.Module):
             d = MAX_SAM_DEPTH
         if (h, w) != (s, s):
             x = jax.image.resize(x, (b, d, s, s), method="linear")
-        out = SAM2Model(cfg=self.cfg, dtype=self.dtype, name="sam")(x, backbone)
+        out = SAM2Model(cfg=self.cfg, dtype=self.dtype, name="sam")(
+            x, backbone, order=order, num_cond=num_cond
+        )
         preds, prompts = out["preds"], out["prompts"]
         if (h, w) != (s, s):
             preds = jax.image.resize(preds, (b, d, h, w), method="linear")
@@ -78,25 +84,18 @@ class SAM2(BaseModel):
         self.prompt_lr = float(custom.pop("prompt_lr", 3e-5))
         self.use_cache_features = bool(custom.pop("use_cache_features", False))
         self.num_init_cond_slices = tuple(custom.pop("num_init_cond_slices", (1, 1)))
-        self.rand_init_cond_slices = custom.pop("rand_init_cond_slices", (True, False))
-        if any(int(n) != 1 for n in self.num_init_cond_slices):
-            # the shipped config uses exactly one conditioning slice
-            # ((1, 1), configs/model/default_sam.yaml); the compiled
-            # tracking scan is specialized to that — more cond slices is a
-            # follow-up (would process extra cond slices before the scan)
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "num_init_cond_slices=%s requested; this build tracks with "
-                "exactly 1 conditioning slice (the shipped default)",
-                self.num_init_cond_slices,
-            )
+        self.rand_init_cond_slices = tuple(
+            custom.pop("rand_init_cond_slices", (True, False))
+        )
+        self.train_mode = False  # toggled by the Trainer around fit epochs
         kwargs["custom_kwargs"] = custom
         super().__init__(**kwargs)
         if self.name.lower().startswith("medsam"):
             self.model_type = ModelType.MEDSAM
 
     def build_module(self) -> nn.Module:
+        import dataclasses
+
         cfg = (
             SAM2Config.medsam_tiny()
             if str(self.name).lower().startswith("medsam")
@@ -104,22 +103,64 @@ class SAM2(BaseModel):
         )
         if self.custom_kwargs.get("test_config"):
             cfg = SAM2Config.tiny_test()
+        max_cond = max(1, *map(int, self.num_init_cond_slices))
+        if max_cond > cfg.max_cond_slices:
+            cfg = dataclasses.replace(cfg, max_cond_slices=max_cond)
         self.sam_cfg = cfg
         return _SAM2Forward(cfg=cfg, dtype=self.dtype)
 
     # ---- forward ---------------------------------------------------------
 
+    def _sample_cond_slices(self, d_eff: int, min_slices: int):
+        """Random conditioning-slice draw (reference
+        ``prepare_prompt_inputs``, models/sam2.py:404-443): train mode picks
+        ``k ~ U[1, num_init_cond_slices[0]]`` (when rand flag set) and the
+        cond set ``{0} ∪ sample(1..min_slices)``; eval uses the fixed eval
+        count. Returns (order, num_cond) numpy arrays or (None, None) for
+        the default single-cond path."""
+        import numpy as np
+
+        phase = 0 if self.train_mode else 1
+        n = int(self.num_init_cond_slices[phase])
+        if n <= 1:
+            return None, None
+        if self.rand_init_cond_slices[phase]:
+            n = int(np.random.randint(1, n + 1))
+        n = min(n, min_slices)
+        cond = [0]
+        if n > 1:
+            cond += np.random.choice(
+                np.arange(1, min_slices), size=n - 1, replace=False
+            ).tolist()
+        rest = [i for i in range(d_eff) if i not in cond]
+        order = np.asarray(cond + rest, dtype=np.int32)
+        return order, np.int32(len(cond))
+
     def prepare_inputs(self, data, items):
         """Use cached ``sam_features`` pyramids when available
-        (reference ``use_cache_features``, ``models/sam2.py:349-358``)."""
+        (reference ``use_cache_features``, ``models/sam2.py:349-358``), and
+        attach the conditioning-slice draw for multi-cond training."""
         import numpy as np
 
         data = jnp.asarray(data)
+        d_eff = min(int(data.shape[1]), MAX_SAM_DEPTH)
+        min_slices = d_eff
+        if items:
+            min_slices = min(
+                min(int(it.label.shape[0]) for it in items), d_eff
+            )
+        order, num_cond = self._sample_cond_slices(d_eff, max(min_slices, 1))
+        extra = {}
+        if order is not None:
+            extra = {
+                "order": jnp.asarray(order),
+                "num_cond": jnp.asarray(num_cond),
+            }
         if not self.use_cache_features or not items:
-            return data
+            return {"slices": data, **extra} if extra else data
         aux = items[0].aux_data or {}
         if "sam_features" not in aux or len(items) != 1:
-            return data
+            return {"slices": data, **extra} if extra else data
         cached = aux["sam_features"]
         # match the forward's depth truncation (cached pyramids must stay
         # consistent with the slices the tracking scan actually sees)
@@ -141,14 +182,20 @@ class SAM2(BaseModel):
             "backbone_fpn": to_flat(cached["backbone_fpn"]),
             "vision_pos_enc": to_flat(cached["vision_pos_enc"]),
         }
-        return {"slices": data, "backbone": backbone}
+        return {"slices": data, "backbone": backbone, **extra}
 
     def apply(self, variables: Any, data) -> jnp.ndarray:
         return self.apply_with_aux(variables, data)[0]
 
     def apply_with_aux(self, variables: Any, data):
         if isinstance(data, dict):
-            out = self.module.apply(variables, data["slices"], data["backbone"])
+            out = self.module.apply(
+                variables,
+                data["slices"],
+                data.get("backbone"),
+                order=data.get("order"),
+                num_cond=data.get("num_cond"),
+            )
         else:
             out = self.module.apply(variables, data)
         return out["preds"], {"prompts": out["prompts"]}

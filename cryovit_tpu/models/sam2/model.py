@@ -1,17 +1,20 @@
 """SAM2 video-style 3D segmentation model with a compiled tracking scan.
 
 Parity target: reference ``SAM2Train`` (``models/sam2.py:322-796``) — box +
-dense-mask prompts from the PromptPredictor on every slice, one initial
-conditioning slice, sequential memory-conditioned tracking over the
-z-stack, multimask best/max selection, object-score gating at
-``NO_OBJ_SCORE``, 4× upsampling of low-res masks, sigmoid output.
+dense-mask prompts from the PromptPredictor on every slice, a (possibly
+random, reference ``prepare_prompt_inputs`` 404-443) number of initial
+conditioning slices processed first, sequential memory-conditioned
+tracking over the z-stack, multimask best/max selection, object-score
+gating at ``NO_OBJ_SCORE``, 4× upsampling of low-res masks, sigmoid output.
 
 TPU-native redesign of the tracking loop: the reference keeps a python
 dict of per-frame outputs and re-concatenates memories every step
 (``models/sam2.py:457-532``); here the memory bank is a fixed-size ring
-buffer (1 cond slot + ``num_maskmem−1`` rolling slots, plus an object-
-pointer ring) carried through ``jax.lax.scan`` — the entire D-slice
-tracking pass is a single compiled XLA program with static shapes.
+buffer (``max_cond_slices`` cond slots + ``num_maskmem−1`` rolling slots,
+plus an object-pointer ring) carried through ``jax.lax.scan`` — the entire
+D-slice tracking pass is a single compiled XLA program with static shapes,
+and the processing order / cond count are traced values so the random
+cond-count recipe reuses one compiled program.
 """
 
 from __future__ import annotations
@@ -36,23 +39,32 @@ __all__ = ["SAM2Model", "MemoryBank"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MemoryBank:
-    """Scan-carried tracking state (all static shapes)."""
+    """Scan-carried tracking state (all static shapes).
 
-    spatial: jnp.ndarray  # (B, num_maskmem, e·e, mem_dim)
-    spatial_valid: jnp.ndarray  # (B, num_maskmem) bool
+    Slot layout: ``[0, max_cond_slices)`` hold conditioning-slice memories
+    (reference ``cond_frame_outputs``), the following ``num_maskmem − 1``
+    slots are the rolling ring of recent non-cond memories. Object
+    pointers use the same split on their own axis.
+    """
+
+    spatial: jnp.ndarray  # (B, max_cond + num_maskmem - 1, e·e, mem_dim)
+    spatial_valid: jnp.ndarray  # (B, slots) bool
     obj_ptrs: jnp.ndarray  # (B, P, d_model)
     ptr_valid: jnp.ndarray  # (B, P) bool
-    write_idx: jnp.ndarray  # () int32 — next rolling slot (1..num_maskmem-1)
+    write_idx: jnp.ndarray  # () int32 — count of non-cond writes + 1
+    cond_count: jnp.ndarray  # () int32 — count of cond writes
 
     @classmethod
     def empty(cls, b: int, cfg: SAM2Config) -> "MemoryBank":
         e2 = cfg.embed_size * cfg.embed_size
+        slots = cfg.max_cond_slices + cfg.num_maskmem - 1
         return cls(
-            spatial=jnp.zeros((b, cfg.num_maskmem, e2, cfg.mem_dim)),
-            spatial_valid=jnp.zeros((b, cfg.num_maskmem), dtype=bool),
+            spatial=jnp.zeros((b, slots, e2, cfg.mem_dim)),
+            spatial_valid=jnp.zeros((b, slots), dtype=bool),
             obj_ptrs=jnp.zeros((b, cfg.max_obj_ptrs, cfg.d_model)),
             ptr_valid=jnp.zeros((b, cfg.max_obj_ptrs), dtype=bool),
             write_idx=jnp.asarray(1, dtype=jnp.int32),
+            cond_count=jnp.asarray(0, dtype=jnp.int32),
         )
 
 
@@ -103,13 +115,15 @@ class SAM2Model(nn.Module):
         adding per-slot temporal position embeddings by recency."""
         cfg = self.cfg
         b, m, e2, md = bank.spatial.shape
-        # recency of each slot: cond slot (0) gets index m-1; rolling slots
-        # ordered by distance from write_idx
+        mc = cfg.max_cond_slices
+        # recency of each slot: cond slots get the "conditioning" tpos
+        # index (num_maskmem-1); rolling slots ordered by distance from
+        # write_idx
         slot_ids = jnp.arange(m)
         recency = jnp.where(
-            slot_ids == 0,
-            m - 1,
-            jnp.mod(bank.write_idx - 1 - slot_ids, m - 1),
+            slot_ids < mc,
+            cfg.num_maskmem - 1,
+            jnp.mod(bank.write_idx - 1 - (slot_ids - mc + 1), cfg.num_maskmem - 1),
         )
         tpos = self.maskmem_tpos_enc[recency]  # (m, mem_dim)
         spatial = bank.spatial + tpos[None, :, None, :]
@@ -125,15 +139,21 @@ class SAM2Model(nn.Module):
         return tokens, mask
 
     def _condition_features(
-        self, feats: jnp.ndarray, pos: jnp.ndarray, bank: MemoryBank
+        self,
+        feats: jnp.ndarray,
+        pos: jnp.ndarray,
+        bank: MemoryBank,
+        use_memory=True,
     ) -> jnp.ndarray:
         """Memory-conditioned pixel features; learned no-mem embedding when
-        the bank is empty (first slice)."""
-        has_memory = jnp.any(bank.spatial_valid)
+        the bank is empty or the slice is a conditioning slice (reference:
+        init cond frames skip memory attention entirely, ``track_step`` →
+        ``_prepare_memory_conditioned_features``)."""
+        has_memory = jnp.logical_and(jnp.any(bank.spatial_valid), use_memory)
         tokens, mask = self._memory_tokens(bank)
         # branch-free: with an all-masked bank the cross-attention reads
         # zeros, so the with-memory path is computed unconditionally and the
-        # first slice selects the no-mem embedding instead
+        # no-mem slices select the learned embedding instead
         conditioned = self.memory_attention(feats + pos, tokens, mask)
         no_mem = feats + self.no_mem_embed.reshape(1, 1, 1, -1)
         return jnp.where(has_memory, conditioned, no_mem)
@@ -209,43 +229,48 @@ class SAM2Model(nn.Module):
         pix_feat: jnp.ndarray,
         high_res_mask: jnp.ndarray,
         obj_ptr: jnp.ndarray,
-        is_cond: bool,
-        slice_idx: jnp.ndarray,
+        is_cond,
     ) -> MemoryBank:
+        """Write one memory, branch-free on the (traced) ``is_cond`` flag:
+        cond memories fill the next cond slot, non-cond memories the ring."""
         cfg = self.cfg
+        mc = cfg.max_cond_slices
         b = pix_feat.shape[0]
         mem = self.memory_encoder(pix_feat, high_res_mask)
         mem = mem.reshape(b, -1, cfg.mem_dim)
-        if is_cond:
-            spatial = bank.spatial.at[:, 0].set(mem)
-            valid = bank.spatial_valid.at[:, 0].set(True)
-            ptrs = bank.obj_ptrs.at[:, 0].set(obj_ptr)
-            pvalid = bank.ptr_valid.at[:, 0].set(True)
-            return MemoryBank(spatial, valid, ptrs, pvalid, bank.write_idx)
-        slot = 1 + jnp.mod(bank.write_idx - 1, cfg.num_maskmem - 1)
-        pslot = 1 + jnp.mod(slice_idx - 1, cfg.max_obj_ptrs - 1)
+        is_cond = jnp.asarray(is_cond)
+        cond_slot = jnp.minimum(bank.cond_count, mc - 1)
+        roll_slot = mc + jnp.mod(bank.write_idx - 1, cfg.num_maskmem - 1)
+        slot = jnp.where(is_cond, cond_slot, roll_slot)
+        roll_pslot = mc + jnp.mod(bank.write_idx - 1, cfg.max_obj_ptrs - mc)
+        pslot = jnp.where(is_cond, cond_slot, roll_pslot)
         spatial = jax.lax.dynamic_update_index_in_dim(bank.spatial, mem, slot, 1)
         valid = bank.spatial_valid.at[:, slot].set(True)
-        ptrs = jax.lax.dynamic_update_index_in_dim(
-            bank.obj_ptrs, obj_ptr, pslot, 1
-        )
+        ptrs = jax.lax.dynamic_update_index_in_dim(bank.obj_ptrs, obj_ptr, pslot, 1)
         pvalid = bank.ptr_valid.at[:, pslot].set(True)
-        return MemoryBank(spatial, valid, ptrs, pvalid, bank.write_idx + 1)
+        inc = jnp.where(is_cond, 0, 1).astype(bank.write_idx.dtype)
+        return MemoryBank(
+            spatial,
+            valid,
+            ptrs,
+            pvalid,
+            bank.write_idx + inc,
+            bank.cond_count + (1 - inc),
+        )
 
     def _slice_step(self, bank: MemoryBank, xs):
-        """One tracking step (scanned over slices)."""
-        idx, feat2, p2, s0i, s1i, box, prompt = xs
-        is_first = idx == 0
-        pix = self._condition_features(feat2, p2, bank)
-        # cond slice uses multimask, later slices single-mask
+        """One tracking step (scanned over slices in processing order —
+        conditioning slices first, reference ``forward_tracking``)."""
+        idx, is_cond, feat2, p2, s0i, s1i, box, prompt = xs
+        # cond slices skip memory conditioning (no-mem embedding) and use
+        # multimask outputs; tracked slices attend to the bank, single-mask
+        pix = self._condition_features(
+            feat2, p2, bank, use_memory=jnp.logical_not(is_cond)
+        )
         low_res, high_res, obj_ptr = self._sam_heads(
-            pix, box, prompt[..., None], (s0i, s1i), is_first
+            pix, box, prompt[..., None], (s0i, s1i), is_cond
         )
-        bank_cond = self._write_memory(bank, pix, high_res, obj_ptr, True, idx)
-        bank_roll = self._write_memory(bank, pix, high_res, obj_ptr, False, idx)
-        bank = jax.tree_util.tree_map(
-            lambda a, c: jnp.where(is_first, c, a), bank_roll, bank_cond
-        )
+        bank = self._write_memory(bank, pix, high_res, obj_ptr, is_cond)
         return bank, low_res
 
     # ---- full tracking pass ---------------------------------------------
@@ -254,14 +279,29 @@ class SAM2Model(nn.Module):
         self,
         slices: jnp.ndarray,  # (B, D, S, S) preprocessed grayscale
         backbone: dict[str, jnp.ndarray] | None = None,  # cached features
+        order: jnp.ndarray | None = None,  # (D,) processing order
+        num_cond: jnp.ndarray | int | None = None,  # cond slices (first of order)
     ) -> dict[str, jnp.ndarray]:
         """Track through the z-stack → per-voxel probabilities.
 
-        Returns {"preds": (B, D, S, S) sigmoid probs, "prompts": the
-        predicted dense mask prompts (B, D, S, S)}.
+        ``order`` is the slice processing order with the conditioning
+        slices first (reference ``forward_tracking`` processes
+        ``init_cond_slices + slices_not_in_init_cond``); ``num_cond`` of
+        them are treated as conditioning slices. Both are traced values —
+        the random-cond-count training recipe (reference
+        ``prepare_prompt_inputs``, models/sam2.py:404-443) reuses one
+        compiled program for every draw. Defaults: natural order, 1 cond.
+
+        Returns {"preds": (B, D, S, S) sigmoid probs in the original slice
+        order, "prompts": the predicted dense mask prompts (B, D, S, S)}.
         """
         cfg = self.cfg
         b, d, s, _ = slices.shape
+        if order is None:
+            order = jnp.arange(d)
+        if num_cond is None:
+            num_cond = 1
+        num_cond = jnp.asarray(num_cond, dtype=jnp.int32)
 
         if backbone is None:
             flat = slices.reshape(b * d, s, s)
@@ -279,14 +319,18 @@ class SAM2Model(nn.Module):
         boxes = boxes.reshape(b, d, 4)
         prompts = prompts.reshape(b, d, s, s)
 
+        def sel(x):  # (B, D, ...) → (D, B, ...) in processing order
+            return jnp.take(jnp.moveaxis(x, 0, 1), order, axis=0)
+
         xs = (
-            jnp.arange(d),
-            jnp.moveaxis(s2, 0, 1),
-            jnp.moveaxis(pos2, 0, 1),
-            jnp.moveaxis(s0, 0, 1),
-            jnp.moveaxis(s1, 0, 1),
-            jnp.moveaxis(boxes, 0, 1),
-            jnp.moveaxis(prompts, 0, 1),
+            order,
+            jnp.arange(d) < num_cond,
+            sel(s2),
+            sel(pos2),
+            sel(s0),
+            sel(s1),
+            sel(boxes),
+            sel(prompts),
         )
         bank = MemoryBank.empty(b, cfg)
         # lifted scan: params broadcast across slices, memory bank carried
@@ -296,7 +340,8 @@ class SAM2Model(nn.Module):
             split_rngs={"params": False},
         )
         _, low_res_masks = scan(self, bank, xs)
-        # (D, B, e4, e4) → (B, D, S, S) via 4× upsample
-        low = jnp.moveaxis(low_res_masks, 0, 1)
+        # undo the processing permutation, then (D, B, e4, e4) → (B, D, S, S)
+        low = jnp.take(low_res_masks, jnp.argsort(order), axis=0)
+        low = jnp.moveaxis(low, 0, 1)
         up = jax.image.resize(low, (b, d, s, s), method="linear")
         return {"preds": nn.sigmoid(up), "prompts": prompts}

@@ -237,6 +237,9 @@ class Trainer:
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.perf_counter()
             train_loader.set_epoch(epoch)
+            # train-phase flag for models whose input prep is phase-
+            # dependent (SAM2's random conditioning-slice draw)
+            model.train_mode = True
             logs: dict[str, Any] = {}
             for batch, items in train_loader:
                 placed = self._place(batch)
@@ -253,6 +256,7 @@ class Trainer:
                     self._log(step_num, logs)
 
             epoch_logs = {f"epoch_{k}": float(v) for k, v in logs.items()}
+            model.train_mode = False
             if val_loader is not None:
                 vals = self._run_eval_epoch(
                     eval_step, state.params, val_loader, prepare=prepare

@@ -163,3 +163,132 @@ def test_training_step_parity(pair, rng):
     with torch.no_grad():
         out_torch = tmodel(tfeats).numpy()
     np.testing.assert_allclose(out_flax, out_torch, atol=5e-4)
+
+
+class _Recorder:
+    """Logger capturing per-step scalars."""
+
+    def __init__(self):
+        self.history = []
+
+    def log_scalars(self, scalars, step):
+        self.history.append(dict(scalars, step=step))
+
+
+def test_training_trajectory_parity(tmp_path, rng):
+    """Multi-epoch END-TO-END parity: the full jax Trainer (real data
+    pipeline from a training-ready HDF5, reference recipe AdamW wd 1e-3
+    lr 1e-4 + SWA from 80% of epochs, config.py:42-70 +
+    callbacks/stochastic_weight_average.yaml) against a torch clone on
+    identical data — loss AND hard-Dice trajectories, plus the final
+    SWA-averaged predictions. This is the synthetic-data stand-in for the
+    BASELINE Dice-parity requirement."""
+    import h5py
+    import optax  # noqa: F401  (imported for parity with train loop deps)
+
+    from cryovit_tpu.callbacks import ProgressBar  # noqa: F401
+    from cryovit_tpu.models import CryoVIT
+    from cryovit_tpu.models.losses import DiceLoss
+    from cryovit_tpu.models.metrics import DiceMetric
+    from cryovit_tpu.train.loop import Trainer
+    from cryovit_tpu.train.swa import StochasticWeightAveraging
+    from cryovit_tpu.config import compose
+    from cryovit_tpu.run.common import build_file_datamodule
+
+    # --- synthetic training-ready tomogram (reference HDF5 layout) ------
+    d, gh, gw = 4, 2, 2
+    feats = (rng.standard_normal((1536, d, gh, gw)) * 0.3).astype(np.float16)
+    label = rng.integers(0, 2, size=(d, 16 * gh, 16 * gw)).astype(np.int8)
+    label[0] = -1  # unlabeled slice → masked out
+    train_hdf = tmp_path / "train.hdf"
+    with h5py.File(train_hdf, "w") as f:
+        f.create_dataset("data", data=rng.random((d, 16 * gh, 16 * gw)))
+        f.create_dataset("dino_features", data=feats)
+        f.create_dataset("labels/mito", data=label)
+    labels_hdf = tmp_path / "labels.hdf"
+    with h5py.File(labels_hdf, "w") as f:
+        f.create_dataset("mito", data=label)
+
+    cfg = compose(
+        "train_model",
+        ["model=cryovit", "datamodule=file", "label_key=mito",
+         f"paths.exp_dir={tmp_path}", "name=parity"],
+    )
+    datamodule = build_file_datamodule(
+        cfg, data_paths=[train_hdf], data_labels=[labels_hdf], labels=["mito"]
+    )
+
+    # --- identical init: torch clone → flax ------------------------------
+    torch.manual_seed(3)
+    tmodel = _torch_cryovit()
+    variables = jax.tree_util.tree_map(jnp.asarray, _map_params(tmodel))
+
+    lr, wd, epochs = 1e-4, 1e-3, 10
+    model = CryoVIT(
+        name="CryoVIT", input_key="dino_features", lr=lr, weight_decay=wd,
+        losses={"dice_loss": DiceLoss()},
+        metrics={"dice_metric": DiceMetric(0.5)},
+        dtype=jnp.float32,
+    )
+    rec = _Recorder()
+    swa = StochasticWeightAveraging(swa_lrs=lr, swa_epoch_start=0.8)
+    trainer = Trainer(
+        precision="f32", max_epochs=epochs, callbacks=[swa], loggers=[rec],
+        donate_state=False,
+    )
+    state = trainer.fit(model, datamodule, variables=variables)
+
+    jax_loss = [h["train_dice_loss"] for h in rec.history if "train_dice_loss" in h]
+    jax_dice = [h["train_dice_metric"] for h in rec.history if "train_dice_metric" in h]
+    assert len(jax_loss) == epochs
+
+    # --- torch clone on the exact batch the pipeline produced ------------
+    batch, _ = next(iter(datamodule.train_loader()))
+    np_feats = np.asarray(batch.data)  # (1, D, gh, gw, 1536) possibly padded
+    np_label = np.asarray(batch.label)
+    tfeats = torch.from_numpy(np_feats.transpose(0, 4, 1, 2, 3).astype(np.float32))
+    tlabel = torch.from_numpy(np_label.astype(np.float32))
+    tmask = (tlabel > -1).float()
+
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=lr, weight_decay=wd)
+    torch_loss, torch_dice = [], []
+    swa_avg, swa_n = None, 0
+    swa_start = int(0.8 * epochs)
+    for epoch in range(epochs):
+        topt.zero_grad()
+        pred = tmodel(tfeats)
+        yt = tlabel * tmask
+        yp = pred * tmask
+        inter = (yt * yp).sum()
+        loss = 1 - 2 * inter / (yt.sum() + yp.sum() + 1e-3)
+        loss.backward()
+        topt.step()
+        torch_loss.append(float(loss.detach()))
+        with torch.no_grad():
+            hard = (pred >= 0.5).float() * tmask
+            dice = 2 * (yt * hard).sum() / (yt.sum() + hard.sum() + 1e-3)
+            torch_dice.append(float(dice))
+            if epoch + 1 > swa_start:
+                params = [p.detach().clone() for p in tmodel.parameters()]
+                if swa_avg is None:
+                    swa_avg, swa_n = params, 1
+                else:
+                    swa_avg = [
+                        (a * swa_n + p) / (swa_n + 1)
+                        for a, p in zip(swa_avg, params)
+                    ]
+                    swa_n += 1
+
+    np.testing.assert_allclose(jax_loss, torch_loss, atol=3e-4)
+    np.testing.assert_allclose(jax_dice, torch_dice, atol=1e-3)
+
+    # --- final SWA-averaged model predictions match -----------------------
+    with torch.no_grad():
+        for p, a in zip(tmodel.parameters(), swa_avg):
+            p.copy_(a)
+        torch_final = tmodel(tfeats).numpy()
+    jax_final = np.asarray(model.apply(state.params, jnp.asarray(np_feats)))
+    np.testing.assert_allclose(jax_final, torch_final, atol=2e-3)
+    # threshold-0.5 masks agree except near the decision boundary
+    agree = np.mean((jax_final >= 0.5) == (torch_final >= 0.5))
+    assert agree > 0.995

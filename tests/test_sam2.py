@@ -110,22 +110,216 @@ def test_memory_bank_ring_buffer(tiny_cfg, tiny_sam):
     model, variables = tiny_sam
     bank = MemoryBank.empty(1, tiny_cfg)
     assert not bool(bank.spatial_valid.any())
-    e2 = tiny_cfg.embed_size**2
     pix = jnp.ones((1, tiny_cfg.embed_size, tiny_cfg.embed_size, tiny_cfg.d_model))
     mask = jnp.zeros((1, tiny_cfg.image_size, tiny_cfg.image_size, 1))
     ptr = jnp.ones((1, tiny_cfg.d_model))
 
-    write = lambda bank, cond, idx: model.apply(
-        variables, bank, pix, mask, ptr, cond, jnp.asarray(idx),
-        method=model._write_memory,
+    write = lambda bank, cond: model.apply(
+        variables, bank, pix, mask, ptr, cond, method=model._write_memory
     )
-    bank = write(bank, True, 0)
+    bank = write(bank, True)
     assert bool(bank.spatial_valid[0, 0])
-    for i in range(1, 4):
-        bank = write(bank, False, i)
+    assert int(bank.cond_count) == 1
+    for _ in range(3):
+        bank = write(bank, False)
     # ring of size num_maskmem-1=2 → slots 1..2 valid, cond slot intact
     assert bank.spatial_valid[0].tolist() == [True, True, True]
     assert int(bank.write_idx) == 4
+
+
+def test_memory_bank_multi_cond_slots():
+    """max_cond_slices > 1: cond writes fill consecutive cond slots and
+    never touch the rolling ring (reference keeps cond_frame_outputs
+    separate, models/sam2.py:481-508)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SAM2Config.tiny_test(), max_cond_slices=2)
+    model = SAM2Model(cfg=cfg, lora_rank=4, lora_alpha=4.0)
+    slices = jnp.zeros((1, 3, cfg.image_size, cfg.image_size))
+    variables = model.init(jax.random.key(0), slices)
+
+    bank = MemoryBank.empty(1, cfg)
+    assert bank.spatial.shape[1] == 2 + cfg.num_maskmem - 1
+    pix = jnp.ones((1, cfg.embed_size, cfg.embed_size, cfg.d_model))
+    mask = jnp.zeros((1, cfg.image_size, cfg.image_size, 1))
+    ptr = jnp.ones((1, cfg.d_model))
+    write = lambda bank, cond: model.apply(
+        variables, bank, pix, mask, ptr, cond, method=model._write_memory
+    )
+    bank = write(bank, True)
+    bank = write(bank, True)
+    assert bank.spatial_valid[0].tolist() == [True, True, False, False]
+    assert int(bank.cond_count) == 2
+    bank = write(bank, False)
+    assert bank.spatial_valid[0].tolist() == [True, True, True, False]
+    assert int(bank.write_idx) == 2
+
+
+def test_tracking_order_permutation_identity(tiny_cfg, tiny_sam, rng):
+    """order=arange + num_cond=1 must reproduce the default call exactly,
+    and a permuted order must return preds in original slice order."""
+    model, variables = tiny_sam
+    s = tiny_cfg.image_size
+    slices = jnp.asarray(rng.random((1, 4, s, s)), dtype=jnp.float32)
+    base = model.apply(variables, slices)
+    same = model.apply(
+        variables, slices, order=jnp.arange(4), num_cond=jnp.asarray(1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(base["preds"]), np.asarray(same["preds"]), atol=1e-6
+    )
+    # cond slice 0 processed first either way; tracking order of the rest
+    # differs → preds differ but stay aligned to the original slice axis
+    perm = model.apply(
+        variables, slices, order=jnp.asarray([0, 2, 1, 3]), num_cond=jnp.asarray(1)
+    )
+    assert perm["preds"].shape == base["preds"].shape
+    assert np.isfinite(np.asarray(perm["preds"])).all()
+
+
+def test_tracking_multi_cond_forward(rng):
+    """num_cond=2: both cond slices skip memory attention, later slices
+    track; same compiled program serves different draws."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SAM2Config.tiny_test(), max_cond_slices=3)
+    model = SAM2Model(cfg=cfg, lora_rank=4, lora_alpha=4.0)
+    s = cfg.image_size
+    slices = jnp.asarray(rng.random((1, 5, s, s)), dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), slices)
+
+    fn = jax.jit(lambda v, x, o, n: model.apply(v, x, order=o, num_cond=n))
+    out1 = fn(variables, slices, jnp.asarray([0, 3, 1, 2, 4]), jnp.asarray(2))
+    out2 = fn(variables, slices, jnp.asarray([0, 2, 4, 1, 3]), jnp.asarray(3))
+    assert out1["preds"].shape == (1, 5, s, s)
+    assert np.isfinite(np.asarray(out1["preds"])).all()
+    assert np.isfinite(np.asarray(out2["preds"])).all()
+    # one compiled program serves all draws (order/num_cond are traced)
+    assert fn._cache_size() == 1
+    # semantic equivalence of the scan vs the reference-style python loop
+    # (incl. multi-cond) is covered by test_tracking_scan_matches_python_oracle
+
+
+def test_tracking_scan_matches_python_oracle(rng):
+    """The compiled ring-buffer scan must reproduce a plain-python
+    list-based tracking loop (the reference's semantics: a dict of
+    cond/non-cond frame outputs re-assembled every step,
+    models/sam2.py:457-532) — including cond-first processing, ring
+    eviction of old memories, and object-pointer truncation."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SAM2Config.tiny_test(), max_cond_slices=2)
+    model = SAM2Model(cfg=cfg, lora_rank=4, lora_alpha=4.0)
+    s = cfg.image_size
+    d = 6  # > num_maskmem-1 rolling slots → exercises eviction
+    slices = jnp.asarray(rng.random((1, d, s, s)), dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), slices)
+    order = [0, 3, 1, 2, 4, 5]
+    num_cond = 2
+
+    scan_out = model.apply(
+        variables, slices, order=jnp.asarray(order), num_cond=jnp.asarray(num_cond)
+    )
+
+    def oracle(mdl, slices):
+        cfg = mdl.cfg
+        b, d_, s_, _ = slices.shape
+        backbone = mdl.encode_images(slices.reshape(b * d_, s_, s_))
+        fpn, pos = backbone["backbone_fpn"], backbone["vision_pos_enc"]
+        unflat = lambda x: x.reshape(b, d_, *x.shape[1:])
+        s0, s1, s2 = (unflat(f) for f in fpn[:3])
+        pos2 = unflat(pos[2])
+        boxes, prompts = mdl.prompt_predictor(s0)
+        boxes = boxes.reshape(b, d_, 4)
+        prompts = prompts.reshape(b, d_, s_, s_)
+
+        mc = cfg.max_cond_slices
+        cond_mems, roll_mems, cond_ptrs, roll_ptrs = [], [], [], []
+        outs = {}
+        for step, i in enumerate(order):
+            is_cond = step < num_cond
+            feat2, p2 = s2[:, i], pos2[:, i]
+            if is_cond or not (cond_mems or roll_mems):
+                pix = feat2 + mdl.no_mem_embed.reshape(1, 1, 1, -1)
+            else:
+                toks = [
+                    m + mdl.maskmem_tpos_enc[cfg.num_maskmem - 1][None, None, :]
+                    for m in cond_mems
+                ]
+                recent = roll_mems[-(cfg.num_maskmem - 1):]
+                for j, m in enumerate(reversed(recent)):
+                    toks.append(m + mdl.maskmem_tpos_enc[j][None, None, :])
+                ptrs = cond_ptrs + roll_ptrs[-(cfg.max_obj_ptrs - mc):]
+                ptr_tok = jnp.stack(ptrs, axis=1).reshape(b, -1, cfg.mem_dim)
+                tokens = jnp.concatenate(toks + [ptr_tok], axis=1)
+                mask = jnp.ones(tokens.shape[:2], dtype=bool)
+                pix = mdl.memory_attention(feat2 + p2, tokens, mask)
+            low, high, optr = mdl._sam_heads(
+                pix, boxes[:, i], prompts[:, i][..., None],
+                (s0[:, i], s1[:, i]), is_cond,
+            )
+            mem = mdl.memory_encoder(pix, high).reshape(b, -1, cfg.mem_dim)
+            (cond_mems if is_cond else roll_mems).append(mem)
+            (cond_ptrs if is_cond else roll_ptrs).append(optr)
+            outs[i] = low
+        low = jnp.stack([outs[i] for i in range(d_)], axis=1)
+        up = jax.image.resize(low, (b, d_, s_, s_), method="linear")
+        return jax.nn.sigmoid(up)
+
+    oracle_preds = model.apply(variables, slices, method=oracle)
+    np.testing.assert_allclose(
+        np.asarray(scan_out["preds"]), np.asarray(oracle_preds), atol=1e-4
+    )
+
+
+def test_family_cond_slice_sampling(rng):
+    """SAM2.prepare_inputs draws a random cond set in train mode and the
+    fixed eval count otherwise (reference prepare_prompt_inputs)."""
+    from cryovit_tpu.models import SAM2
+    from cryovit_tpu.models.losses import DiceLoss
+    from cryovit_tpu.models.metrics import DiceMetric
+    from cryovit_tpu.types import TomogramData
+
+    model = SAM2(
+        name="SAM2", input_key="data", lr=5e-5,
+        losses={"dice_loss": DiceLoss()}, metrics={"dice_metric": DiceMetric(0.5)},
+        custom_kwargs={
+            "test_config": True,
+            "num_init_cond_slices": (3, 1),
+            "rand_init_cond_slices": (True, False),
+        },
+    )
+    assert model.sam_cfg.max_cond_slices == 3
+    s = model.sam_cfg.image_size
+    data = rng.random((1, 5, s, s, 1)).astype(np.float32)
+    item = TomogramData(
+        sample="AD", tomo_name="t.hdf", split_id=None,
+        data=data[0], label=np.zeros((5, s, s), np.int8), aux_data={},
+    )
+    np.random.seed(0)
+    model.train_mode = True
+    seen = set()
+    for _ in range(8):
+        inputs = model.prepare_inputs(data, [item])
+        assert isinstance(inputs, dict) and "order" in inputs
+        order = np.asarray(inputs["order"])
+        k = int(inputs["num_cond"])
+        seen.add(k)
+        assert order[0] == 0 and 1 <= k <= 3
+        assert sorted(order.tolist()) == list(range(5))
+    assert len(seen) > 1, "cond count should vary across draws"
+
+    model.train_mode = False
+    inputs = model.prepare_inputs(data, [item])
+    assert not isinstance(inputs, dict)  # eval count 1 → default path
+
+    # end-to-end: a train step with a multi-cond draw runs and is finite
+    model.train_mode = True
+    variables = model.init(jax.random.key(0), jnp.asarray(data))
+    inputs = model.prepare_inputs(data, [item])
+    preds, aux = model.apply_with_aux(variables, inputs)
+    assert preds.shape == (1, 5, s, s)
+    assert np.isfinite(np.asarray(preds)).all()
 
 
 def test_sam2_full_forward_and_grads(tiny_cfg, tiny_sam, rng):
