@@ -143,6 +143,7 @@ class Attention(nn.Module):
     dtype: Any = jnp.bfloat16
     attention_fn: Callable | None = None
     qkv_attention_fn: Callable | None = None
+    pair_attention_fn: Callable | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -156,6 +157,59 @@ class Attention(nn.Module):
         w_proj = w_proj.astype(self.dtype)
         b_proj = b_proj.astype(self.dtype)
         x = x.astype(self.dtype)
+
+        if self.pair_attention_fn is not None and h % 2 == 0:
+            # pair-packed planes: adjacent head pairs share a 128-lane
+            # plane, so the projection matmuls write/read full-width VMEM
+            # tiles (d=64 head-major planes leave every lane-tile half
+            # empty). Same zero-transpose property as the head-major path:
+            # the (h,d)→(g,2d) regrouping is a reshape of the flat h·d
+            # axis, identical on the qkv and output sides.
+            g = h // 2
+            pair = 2 * head_dim
+            # pad the token axis to the tile quantum BEFORE the projection:
+            # the qkv matmul computes the (cheap) padded rows and the
+            # pallas boundary then needs zero pad/slice copies (measured
+            # ~3.7 ms/block of pure copies otherwise). Padded keys are
+            # masked in-kernel via true_len; padded query rows fall out of
+            # the sliced output read below.
+            # 16 = the bf16 sublane tile height — the token axis is the
+            # second-to-minor dim everywhere, so 16-alignment suffices
+            n_pad = -(-n // 16) * 16
+            xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
+            w4 = w_qkv.reshape(c, 3, g, pair)
+            b4 = b_qkv.reshape(3, g, 1, pair)
+            # one einsum per plane, each writing its pallas input buffer
+            # directly with bias (and, for q, the softmax scale ·log2 e at
+            # bf16 — the kernel then uses a bf16 exp2) folded into the
+            # matmul epilogue: a stacked (3,...) einsum forces XLA to
+            # materialize slice+scale copies at the kernel boundary
+            # (measured ~147 ms/batch of pure copies)
+            exp2_bf16 = self.dtype == jnp.bfloat16
+            fold = jnp.asarray(
+                head_dim**-0.5 * (1.4426950408889634 if exp2_bf16 else 1.0),
+                dtype=self.dtype,
+            )
+            # q/k/v biases ride into the kernel and apply on the VMEM
+            # tiles (as XLA adds they don't fuse into the einsums feeding
+            # the pallas boundary and cost a full HBM pass each); the q
+            # bias carries the same folded scale as the q weights
+            qp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 0] * fold)
+            kp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 1])
+            vp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 2])
+            kv_bias = jnp.stack(
+                [b4[0][:, 0] * fold, b4[1][:, 0], b4[2][:, 0]]
+            )  # (3, G, P)
+            out = self.pair_attention_fn(
+                qp, kp, vp,
+                pre_scaled=True, exp2_bf16=exp2_bf16,
+                true_len=n if n_pad != n else None,
+                kv_bias=kv_bias,
+            )  # (B,G,Npad,P)
+            out = jnp.einsum(
+                "bgnp,gpc->bnc", out[:, :, :n], w_proj.reshape(g, pair, c)
+            )
+            return out + b_proj
 
         if self.qkv_attention_fn is not None:
             # qkv projection emits head-major planes directly: the MXU
@@ -211,23 +265,31 @@ class Block(nn.Module):
     dtype: Any = jnp.bfloat16
     attention_fn: Callable | None = None
     qkv_attention_fn: Callable | None = None
+    pair_attention_fn: Callable | None = None
+    residual_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
+        rdtype = self.residual_dtype
         ls1 = self.param("ls1_gamma", nn.initializers.constant(1e-5), (dim,))
         ls2 = self.param("ls2_gamma", nn.initializers.constant(1e-5), (dim,))
-        h = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="norm1")(x)
+        # the residual stream carries `residual_dtype`: f32 by default;
+        # bf16 halves the HBM traffic of every LN read and residual
+        # read-modify-write (LN statistics stay f32 inside flax either way)
+        x = x.astype(rdtype)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=rdtype, name="norm1")(x)
         h = Attention(
             self.num_heads, dtype=self.dtype, attention_fn=self.attention_fn,
-            qkv_attention_fn=self.qkv_attention_fn, name="attn",
+            qkv_attention_fn=self.qkv_attention_fn,
+            pair_attention_fn=self.pair_attention_fn, name="attn",
         )(h.astype(self.dtype))
-        x = x + h * ls1
-        h = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32, name="norm2")(x)
+        x = x + (h * ls1.astype(rdtype)).astype(rdtype)
+        h = nn.LayerNorm(epsilon=self.eps, dtype=rdtype, name="norm2")(x)
         h = SwiGLUFFN(self.ffn_hidden, dtype=self.dtype, name="mlp")(
             h.astype(self.dtype)
         )
-        return x + h * ls2
+        return x + (h * ls2.astype(rdtype)).astype(rdtype)
 
 
 class _ScanBlock(Block):
@@ -254,7 +316,9 @@ class DinoV2(nn.Module):
     dtype: Any = jnp.bfloat16
     attention_fn: Callable | None = None
     qkv_attention_fn: Callable | None = None
+    pair_attention_fn: Callable | None = None
     scan_blocks: bool = False
+    residual_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -296,6 +360,9 @@ class DinoV2(nn.Module):
         tokens = jnp.concatenate(
             [tokens[:, :1], regs.astype(self.dtype), tokens[:, 1:]], axis=1
         )
+        # the block stack carries the residual stream in residual_dtype —
+        # cast here so the scan carry type is invariant across blocks
+        tokens = tokens.astype(self.residual_dtype)
 
         if self.scan_blocks:
             block = nn.scan(
@@ -311,6 +378,8 @@ class DinoV2(nn.Module):
                 dtype=self.dtype,
                 attention_fn=self.attention_fn,
                 qkv_attention_fn=self.qkv_attention_fn,
+                pair_attention_fn=self.pair_attention_fn,
+                residual_dtype=self.residual_dtype,
                 name="blocks",
             )
             tokens, _ = block(tokens, None)
@@ -323,6 +392,8 @@ class DinoV2(nn.Module):
                     dtype=self.dtype,
                     attention_fn=self.attention_fn,
                     qkv_attention_fn=self.qkv_attention_fn,
+                    pair_attention_fn=self.pair_attention_fn,
+                    residual_dtype=self.residual_dtype,
                     name=f"block{i}",
                 )(tokens)
 
@@ -424,26 +495,44 @@ def make_dinov2(
     dtype: Any = jnp.bfloat16,
     use_flash_attention: bool | None = None,
     scan_blocks: bool | None = None,
+    pair_heads: bool | None = None,
+    residual_dtype: Any = None,
 ) -> DinoV2:
     """Build the extractor module, selecting the attention kernel.
 
     Pallas flash attention on TPU backends; XLA attention elsewhere
     (CPU tests / interpret mode). Deep stacks default to scan-over-blocks
-    (one compiled block instead of ``depth``).
+    (one compiled block instead of ``depth``). With flash attention and
+    64-wide heads, adjacent head pairs pack into 128-lane planes
+    (full-width VMEM tiles end to end — see ``flash_attention_pairs``).
     """
     cfg = cfg or DinoV2Config.giant()
     if use_flash_attention is None:
         use_flash_attention = jax.default_backend() not in ("cpu",)
     if scan_blocks is None:
         scan_blocks = cfg.depth >= 12
+    head_dim = cfg.embed_dim // cfg.num_heads
+    if pair_heads is None:
+        pair_heads = head_dim == 64 and cfg.num_heads % 2 == 0
+    if residual_dtype is None:
+        residual_dtype = jnp.float32
     qkv_attention_fn = None
+    pair_attention_fn = None
     if use_flash_attention:
-        from cryovit_tpu.ops.flash_attention import flash_attention_bhnd
+        from cryovit_tpu.ops.flash_attention import (
+            flash_attention_bhnd,
+            flash_attention_pairs,
+        )
 
-        qkv_attention_fn = flash_attention_bhnd
+        if pair_heads:
+            pair_attention_fn = flash_attention_pairs
+        else:
+            qkv_attention_fn = flash_attention_bhnd
     return DinoV2(
         cfg=cfg,
         dtype=dtype,
         qkv_attention_fn=qkv_attention_fn,
+        pair_attention_fn=pair_attention_fn,
         scan_blocks=scan_blocks,
+        residual_dtype=residual_dtype,
     )

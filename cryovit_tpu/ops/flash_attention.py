@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_bhnd", "attention_reference"]
+__all__ = [
+    "flash_attention",
+    "flash_attention_bhnd",
+    "flash_attention_pairs",
+    "attention_reference",
+]
 
 NEG_INF = -1e30
 
@@ -91,6 +96,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, kv_len: int, scal
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def _best_block(n: int, lo: int = 256, hi: int = 1088) -> int:
+    """Block size (multiple of 16, the bf16 sublane tile) minimizing the
+    round-up padding of ``n``; ties prefer larger blocks (fewer programs)."""
+    best_waste, best = None, lo
+    for b in range(lo, hi + 1, 16):
+        waste = _round_up(n, b) - n
+        if best_waste is None or waste < best_waste or (
+            waste == best_waste and b > best
+        ):
+            best_waste, best = waste, b
+    return best
 
 
 @functools.partial(
@@ -158,6 +176,272 @@ def flash_attention(
 
     out = out[:, :n].reshape(b, h, n, d)
     return jnp.swapaxes(out, 1, 2)
+
+
+LOG2E = 1.4426950408889634
+
+
+def _flash_kernel_paired(
+    q_ref,
+    k_ref,
+    v_ref,
+    bias_ref,
+    o_ref,
+    *,
+    block_k: int,
+    kv_len: int,
+    scale: float,
+    head_dim: int,
+    exp2_bf16: bool = False,
+):
+    """Flash kernel over PAIR-PACKED planes: the block minor dim holds two
+    64-wide heads side by side (lane dim 128 → full-width VMEM tiles and
+    DMAs; the per-head QK^T contraction stays 64 — that part of the MXU
+    inefficiency is inherent to d=64 models).
+
+    The kernel is VPU-bound (measured: softmax element passes over the
+    (BQ, BK) score tile rival the MXU time), so every full-tile pass
+    counts:
+    - ``scale`` is expected pre-folded into q (``scale`` param = 1.0 from
+      the production path) — no per-score multiply,
+    - key-padding is handled by multiplying ``exp`` outputs with a 0/1
+      row AFTER the max (a max over padded zero-scores is still a valid
+      softmax shift, so masking before the max is unnecessary), replacing
+      iota+compare+select passes with one multiply,
+    - row sums ride the MXU: ``p @ ones`` instead of a VPU reduction,
+      and use the same bf16-cast ``p`` as the PV matmul so the
+      normalization is self-consistent,
+    - the common single-K-block case (ViT lengths) statically skips the
+      online-softmax correction state.
+    """
+    # q/k/v projection biases applied in-kernel on the VMEM tiles ((1, P)
+    # row broadcasts) — as standalone XLA adds they each cost a full HBM
+    # read+write pass of the plane (measured 24 ms/batch apiece); the q
+    # bias arrives pre-multiplied by the folded softmax scale
+    q = q_ref[0] + bias_ref[0, 0:1]  # (BQ, 2·D) two heads packed on lanes
+    block_q = q.shape[0]
+    kv_pad = k_ref.shape[1]
+    num_kb = kv_pad // block_k
+    d = head_dim
+    kbias = bias_ref[0, 1:2]  # (1, P)
+    vbias = bias_ref[0, 2:3]
+
+    def kmask_row(i):
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, block_k), 1)
+        return (col + (i * block_k) < kv_len).astype(jnp.float32)[:1]
+
+    p_dtype = v_ref.dtype  # bf16 in production; f32 paths stay exact
+    ones_col = jnp.ones((block_k, 8), dtype=p_dtype)
+
+    def softmax_num(s, m):
+        """exp(s − m) (or exp2 in the log2 domain — the caller folds
+        log2(e) into the q scale, so softmax ratios are unchanged), cast
+        for the PV matmul. The exp is the kernel's single most expensive
+        VPU op (~half its runtime at d=64); evaluating it at bf16 doubles
+        VPU throughput at a cost far below bf16 attention's own quantum."""
+        diff = s - m[:, None]
+        if exp2_bf16:
+            return jnp.exp2(diff.astype(jnp.bfloat16)).astype(p_dtype)
+        return jnp.exp(diff).astype(p_dtype)
+
+    def scores(kb, h):
+        # Mosaic requires a 32-bit matmul accumulator/output in-kernel
+        # (bf16 preferred_element_type rejected), so the score tile is f32
+        s = jax.lax.dot_general(
+            q[:, h * d : (h + 1) * d],
+            kb[:, h * d : (h + 1) * d],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return s if scale == 1.0 else s * scale
+
+    def pv(pb, vb, h):
+        return jax.lax.dot_general(
+            pb,
+            vb[:, h * d : (h + 1) * d],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def rowsum(pb):  # (BQ, BK) bf16 → (BQ,) f32 on the MXU
+        return jax.lax.dot_general(
+            pb, ones_col, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[:, 0]
+
+    if num_kb == 1:
+        # single K block: plain 2-pass softmax, no correction state. The
+        # two heads' chains are interleaved so the in-order cores overlap
+        # pipelines: head-1's QK dot (MXU) issues before head-0's softmax
+        # (VPU), and head-0's PV/rowsum dots overlap head-1's softmax.
+        kb = k_ref[0] + kbias
+        vb = v_ref[0] + vbias
+        mask = None if kv_len == kv_pad else kmask_row(0)
+
+        def softmax_block(s):
+            pb = softmax_num(s, jnp.max(s, axis=-1))
+            return pb * mask.astype(p_dtype) if mask is not None else pb
+
+        s0 = scores(kb, 0)
+        s1 = scores(kb, 1)
+        pb0 = softmax_block(s0)
+        out0 = pv(pb0, vb, 0)
+        l0 = rowsum(pb0)
+        pb1 = softmax_block(s1)
+        out1 = pv(pb1, vb, 1)
+        l1 = rowsum(pb1)
+        acc = jnp.concatenate([out0, out1], axis=-1)
+        inv = jnp.concatenate(
+            [jnp.repeat(1.0 / l[:, None], d, axis=1) for l in (l0, l1)],
+            axis=-1,
+        )
+        o_ref[0] = (acc * inv).astype(o_ref.dtype)
+        return
+
+    m0 = jnp.full((2, block_q), NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((2, block_q), dtype=jnp.float32)
+    acc0 = jnp.zeros((block_q, 2 * d), dtype=jnp.float32)
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :] + kbias  # (BK, 2D)
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :] + vbias
+        mask = kmask_row(i)
+
+        outs, ms, ls = [], [], []
+        for h in (0, 1):
+            s = scores(kb, h)
+            # padded keys score 0 (zero-padded k); the block max is only a
+            # softmax shift, so masking before it is unnecessary — but it
+            # must not *decrease* below the running max of real scores
+            m_new = jnp.maximum(m_prev[h], jnp.max(s, axis=-1))
+            pb = softmax_num(s, m_new) * mask.astype(p_dtype)
+            diff_m = m_prev[h] - m_new
+            correction = jnp.exp2(diff_m) if exp2_bf16 else jnp.exp(diff_m)
+            ls.append(l_prev[h] * correction + rowsum(pb))
+            outs.append(
+                acc[:, h * d : (h + 1) * d] * correction[:, None] + pv(pb, vb, h)
+            )
+            ms.append(m_new)
+        return (
+            jnp.stack(ms),
+            jnp.stack(ls),
+            jnp.concatenate(outs, axis=-1),
+        )
+
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    inv = jnp.concatenate(
+        [jnp.repeat(1.0 / l[h][:, None], d, axis=1) for h in (0, 1)], axis=-1
+    )
+    o_ref[0] = (acc * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "block_q", "block_k", "interpret", "pre_scaled", "exp2_bf16", "true_len"
+    ),
+)
+def flash_attention_pairs(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    interpret: bool = False,
+    pre_scaled: bool = False,
+    exp2_bf16: bool = False,
+    true_len: int | None = None,
+    kv_bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Flash attention on pair-packed ``(B, H/2, N, 2·D)`` planes → same
+    layout. Plane ``g`` holds heads ``2g`` (lanes ``0:D``) and ``2g+1``
+    (lanes ``D:2D``).
+
+    Rationale: with d=64 the head-major layout leaves every VMEM tile,
+    DMA, and projection-matmul output half-filled on the 128-lane axis.
+    Packing adjacent head pairs restores full-width lanes end to end —
+    the qkv projection writes 128-wide planes, the kernel streams
+    128-wide K/V, and the output projection contracts over a contiguous
+    (H/2)·128 = 1536 axis.
+    """
+    b, g, n, p = q.shape
+    d = p // 2
+    # contract: pre_scaled means the caller folded the softmax scale — and,
+    # with exp2_bf16, also LOG2E — into q (fused into its producing matmul)
+    scale = 1.0 if pre_scaled else d**-0.5 * (LOG2E if exp2_bf16 else 1.0)
+    # true_len: caller already padded N to the tile quantum (so this call
+    # adds NO pad/slice copies at the pallas boundary); only the first
+    # true_len keys are real. Padded queries produce garbage rows the
+    # caller slices/ignores.
+    kv_len = true_len if true_len is not None else n
+    # the token axis sits on the SUBLANE dimension of every (token, 128)
+    # tile, so its quantum is 16 (bf16 tile height), not 128 — padding
+    # 1029→1040 instead of 1152 trims ~10% of kernel + projection work.
+    # For longer sequences pick the block size minimizing round-up waste
+    # (e.g. 4101 tokens: 1040-blocks pad 1.4% where 512-blocks pad 12%).
+    if block_q is None:
+        block_q = _round_up(n, 16) if n <= 1280 else _best_block(n)
+    if block_k is None:
+        # single K block while the (bq, bk) f32 score tile stays VMEM-sized
+        block_k = _round_up(n, 16) if n <= 1536 else _best_block(n)
+    block_q = min(block_q, _round_up(n, 16))
+    block_k = min(block_k, _round_up(n, 16))
+    nq = _round_up(n, block_q)
+    nk = _round_up(n, block_k)
+
+    def prep(x, length):
+        x = x.reshape(b * g, n, p)
+        if length != n:
+            x = jnp.pad(x, ((0, 0), (0, length - n), (0, 0)))
+        return x
+
+    qf, kf, vf = prep(q, nq), prep(k, nk), prep(v, nk)
+    # per-plane q/k/v biases applied in-kernel ((G, 3, P): rows = q (pre-
+    # scaled), k, v bias — this layout keeps the block's trailing dims
+    # (3, P) equal to the array's, as Mosaic block rules require); zeros
+    # when the caller pre-added them
+    if kv_bias is None:
+        bias = jnp.zeros((g, 3, p), dtype=q.dtype)
+    else:
+        bias = jnp.swapaxes(kv_bias, 0, 1).astype(q.dtype)
+    grid = (b * g, nq // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_paired,
+            block_k=block_k,
+            kv_len=kv_len,
+            scale=scale,
+            head_dim=d,
+            exp2_bf16=exp2_bf16,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, nk, p), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, nk, p), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, p), lambda bh, qi: (bh % g, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * g, nq, p), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * g * 2 * n * n * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + b * g * nq * p) * 2,
+            transcendentals=b * g * 2 * n * n,
+        ),
+    )(qf, kf, vf, bias)
+    return out[:, :n].reshape(b, g, n, p)
 
 
 @functools.partial(

@@ -33,6 +33,63 @@ def test_flash_attention_matches_reference(rng, n):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("n,block_k", [(200, 1536), (300, 128)])
+def test_flash_attention_pairs_matches_reference(rng, n, block_k):
+    """Pair-packed kernel (adjacent head pairs on 128 lanes): single-block
+    fast path and multi-block online-softmax path, plus pre-scaled q."""
+    from cryovit_tpu.ops.flash_attention import flash_attention_pairs
+
+    b, h, d = 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    ref = attention_reference(q, k, v)
+
+    def pack(x):  # (B,N,H,D) → (B,H/2,N,2D)
+        x = jnp.moveaxis(x, 1, 2)
+        return x.reshape(b, h // 2, 2, n, d).transpose(0, 1, 3, 2, 4).reshape(
+            b, h // 2, n, 2 * d
+        )
+
+    out = flash_attention_pairs(
+        pack(q), pack(k), pack(v), block_k=block_k, interpret=True
+    )
+    out = out.reshape(b, h // 2, n, 2, d).transpose(0, 1, 3, 2, 4)
+    out = jnp.moveaxis(out.reshape(b, h, n, d), 1, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    scale = d**-0.5
+    out2 = flash_attention_pairs(
+        pack(q * scale), pack(k), pack(v), block_k=block_k, interpret=True,
+        pre_scaled=True,
+    )
+    out2 = out2.reshape(b, h // 2, n, 2, d).transpose(0, 1, 3, 2, 4)
+    out2 = jnp.moveaxis(out2.reshape(b, h, n, d), 1, 2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
+
+
+def test_dinov2_pair_path_matches_xla(rng):
+    """Full model: the pair-packed projection/attention path (the TPU
+    production path) reproduces XLA einsum attention with the same params."""
+    from functools import partial
+
+    from cryovit_tpu.models.dinov2 import DinoV2
+    from cryovit_tpu.ops.flash_attention import flash_attention_pairs
+
+    cfg = DinoV2Config.tiny_test()
+    x = jnp.asarray(rng.standard_normal((2, 3 * 14, 2 * 14)), dtype=jnp.float32)
+    ref_model = DinoV2(cfg=cfg, dtype=jnp.float32)
+    variables = ref_model.init(jax.random.key(0), x)
+    ref = ref_model.apply(variables, x)
+
+    pair_model = DinoV2(
+        cfg=cfg, dtype=jnp.float32,
+        pair_attention_fn=partial(flash_attention_pairs, interpret=True),
+    )
+    out = pair_model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_attention_reference_matches_torch(rng):
     b, n, h, d = 1, 37, 2, 16
     q = rng.standard_normal((b, n, h, d)).astype(np.float32)
