@@ -108,25 +108,40 @@ def _conv_cs_bwd(dilation, res, g):
         rhs_dilation=dilation,
         dimension_numbers=("NCDHW", "DHWIO", "NCDHW"),
     )
-    # weight grad as a conv: lhs = x with (C_in→batch, B→feature) roles,
-    # rhs = g as the "kernel" (B→input-feature, C_out→output-feature);
-    # output spatial = the 3 taps, stepping by the forward dilation
-    pads = [(d, d) for d in dilation]  # SAME pads of the k=3 dilated forward
-    if x.shape[0] == 1:
-        # (1, C, ...) → (C, 1, ...) is a pure reshape; a swapaxes here was
-        # observed to materialize with a 32×-padded layout
-        x_cn = x.reshape(x.shape[1], 1, *x.shape[2:])
-    else:
-        x_cn = jnp.swapaxes(x, 0, 1)
-    dw = jax.lax.conv_general_dilated(
-        x_cn,  # (C_in, B, D, H, W)
-        g,  # (B, C_out, D, H, W) read as IODHW
-        window_strides=dilation,
-        padding=pads,
-        dimension_numbers=("NCDHW", "IODHW", "NCDHW"),
-    )  # → (C_in, C_out, 3, 3, 3)
-    dw = jnp.transpose(dw, (2, 3, 4, 0, 1)).astype(kernel.dtype)
-    return dx.astype(x.dtype), dw
+    # weight grad tap-by-tap as plain contractions:
+    #   dW[t, ci, co] = Σ_{b,p} x[b, ci, p + (t−1)·dil] · g[b, co, p]
+    # (27 dot_generals over (b, d, h, w) on shifted windows of the padded
+    # input). The earlier swapped-roles conv formulation made XLA emit the
+    # reduction at ~0.1% utilization — 160 ms for the 8-channel tail layer
+    # where these dots stream the same bytes in ~7 ms.
+    pd, ph, pw = dilation  # SAME pads of the k=3 dilated forward
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pd, pd), (ph, ph), (pw, pw)))
+    d_, h_, w_ = x.shape[2:]
+    taps = []
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                window = jax.lax.slice(
+                    xp,
+                    (0, 0, kd * pd, kh * ph, kw * pw),
+                    (
+                        xp.shape[0],
+                        xp.shape[1],
+                        kd * pd + d_,
+                        kh * ph + h_,
+                        kw * pw + w_,
+                    ),
+                )
+                taps.append(
+                    jax.lax.dot_general(
+                        window,
+                        g,
+                        (((0, 2, 3, 4), (0, 2, 3, 4)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (C_in, C_out)
+                )
+    dw = jnp.stack(taps).reshape(3, 3, 3, x.shape[1], g.shape[1])
+    return dx.astype(x.dtype), dw.astype(kernel.dtype)
 
 
 _conv_cs_core.defvjp(_conv_cs_fwd, _conv_cs_bwd)

@@ -305,6 +305,98 @@ def test_reference_model_metadata_only(torch_cryovit, tmp_path):
     assert (mt, name, lk) == (ModelType.CRYOVIT, "m", "cristae")
 
 
+def test_unet3d_training_trajectory_parity(torch_unet, tmp_path, rng):
+    """Multi-epoch end-to-end parity for the SECOND model family: the jax
+    Trainer + raw-voxel pipeline vs the reference-layout torch UNet3D on
+    identical data (reference recipe: AdamW lr 3e-3 wd 1e-3, dice loss —
+    configs/model/unet3d.yaml). Complements the CryoVIT trajectory test."""
+    import h5py
+    import optax  # noqa: F401
+
+    from cryovit_tpu.config import compose
+    from cryovit_tpu.models import UNet3D as UNet3DFamily
+    from cryovit_tpu.models.losses import DiceLoss
+    from cryovit_tpu.models.metrics import DiceMetric
+    from cryovit_tpu.run.common import build_file_datamodule
+    from cryovit_tpu.train.loop import Trainer
+
+    d, s = 16, 32
+    vol = (rng.random((d, s, s)) * 255).astype(np.uint8)
+    label = rng.integers(0, 2, size=(d, s, s)).astype(np.int8)
+    label[:3] = -1
+    train_hdf = tmp_path / "train.hdf"
+    with h5py.File(train_hdf, "w") as f:
+        f.create_dataset("data", data=vol)
+        f.create_dataset("labels/mito", data=label)
+    labels_hdf = tmp_path / "labels.hdf"
+    with h5py.File(labels_hdf, "w") as f:
+        f.create_dataset("mito", data=label)
+
+    cfg = compose(
+        "train_model",
+        ["model=unet3d", "datamodule=file", "label_key=mito",
+         f"paths.exp_dir={tmp_path}", "name=parity"],
+    )
+    datamodule = build_file_datamodule(
+        cfg, data_paths=[train_hdf], data_labels=[labels_hdf], labels=["mito"]
+    )
+
+    torch.manual_seed(5)
+    tmodel = _RefUNet3D()
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables, _ = convert_state_dict(sd)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    lr, wd, epochs = 3e-3, 1e-3, 4
+    model = UNet3DFamily(
+        name="UNet3D", input_key="data", lr=lr, weight_decay=wd,
+        losses={"dice_loss": DiceLoss()},
+        metrics={"dice_metric": DiceMetric(0.5)},
+        dtype=jnp.float32,
+    )
+
+    class Rec:
+        def __init__(self):
+            self.history = []
+
+        def log_scalars(self, scalars, step):
+            self.history.append(dict(scalars, step=step))
+
+    rec = Rec()
+    trainer = Trainer(
+        precision="f32", max_epochs=epochs, loggers=[rec], donate_state=False
+    )
+    state = trainer.fit(model, datamodule, variables=variables)
+    jax_loss = [h["train_dice_loss"] for h in rec.history if "train_dice_loss" in h]
+    assert len(jax_loss) == epochs
+
+    batch, _ = next(iter(datamodule.train_loader()))
+    np_vol = np.asarray(batch.data)  # (1, D, H, W, 1) normalized by pipeline
+    np_label = np.asarray(batch.label)
+    tvol = torch.from_numpy(np_vol.transpose(0, 4, 1, 2, 3).astype(np.float32))
+    tlabel = torch.from_numpy(np_label.astype(np.float32))
+    tmask = (tlabel > -1).float()
+
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=lr, weight_decay=wd)
+    torch_loss = []
+    for _ in range(epochs):
+        topt.zero_grad()
+        pred = tmodel(tvol)
+        yt, yp = tlabel * tmask, pred * tmask
+        loss = 1 - 2 * (yt * yp).sum() / (yt.sum() + yp.sum() + 1e-3)
+        loss.backward()
+        topt.step()
+        torch_loss.append(float(loss.detach()))
+
+    np.testing.assert_allclose(jax_loss, torch_loss, atol=2e-3)
+    # final predictions track
+    with torch.no_grad():
+        torch_final = tmodel(tvol).numpy()
+    jax_final = np.asarray(model.apply(state.params, jnp.asarray(np_vol)))
+    agree = np.mean((jax_final >= 0.5) == (torch_final >= 0.5))
+    assert agree > 0.99
+
+
 def test_weights_pt_import(torch_unet, tmp_path):
     """A torch.save-d weights.pt converts through load_weights."""
     path = tmp_path / "weights.pt"
