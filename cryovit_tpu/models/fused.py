@@ -17,6 +17,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cryovit_tpu.models.cryovit import CryoVITModule
 from cryovit_tpu.models.dinov2 import DinoV2Config, make_dinov2
@@ -51,8 +52,8 @@ class FusedDinoCryoVIT:
         self.slice_batch = slice_batch
         self._fns: dict = {}
 
-    def _fn(self, d: int, h: int, w: int):
-        key = (d, h, w)
+    def _fn(self, d: int, h: int, w: int, normalize: bool = False):
+        key = (d, h, w, normalize)
         if key in self._fns:
             return self._fns[key]
         out_h = h // 16 * DINO_PATCH
@@ -65,8 +66,11 @@ class FusedDinoCryoVIT:
         d_pad = n_chunks * sb
 
         @jax.jit
-        def fn(dino_vars, dec_vars, slices):  # (D, H, W) f32
-            x = jnp.pad(slices, ((0, d_pad - d), (0, 0), (0, 0)))
+        def fn(dino_vars, dec_vars, slices):  # (D, H, W) f32 (or uint8)
+            x = slices.astype(jnp.float32)
+            if normalize:  # uint8 → [0,1] on device (4× less H2D)
+                x = x * (1.0 / 255.0)
+            x = jnp.pad(x, ((0, d_pad - d), (0, 0), (0, 0)))
             x = jnp.einsum("oh,bhw->bow", rh, x)
             x = jnp.einsum("pw,bow->bop", rw, x)
 
@@ -90,8 +94,11 @@ class FusedDinoCryoVIT:
         return fn
 
     def segment(self, slices) -> jnp.ndarray:
-        """``(D, H, W)`` f32 padded-to-16 stack → ``(D, 16·gh, 16·gw)`` probs."""
+        """``(D, H, W)`` padded-to-16 stack → ``(D, 16·gh, 16·gw)`` probs.
+        f32 input is taken as already normalized; uint8 transfers raw and
+        rescales on device."""
         d, h, w = slices.shape
-        return self._fn(d, h, w)(
+        normalize = getattr(slices, "dtype", None) == np.uint8
+        return self._fn(d, h, w, normalize)(
             self.dino_variables, self.decoder_variables, jnp.asarray(slices)
         )

@@ -98,8 +98,8 @@ class DinoExtractor:
         self.variables = variables
         self._fns: dict = {}
 
-    def _batch_fn(self, h: int, w: int):
-        key = (h, w)
+    def _batch_fn(self, h: int, w: int, normalize: bool = False):
+        key = (h, w, normalize)
         if key in self._fns:
             return self._fns[key]
         out_h = h // 16 * DINO_PATCH
@@ -109,8 +109,11 @@ class DinoExtractor:
         rw = bicubic_resize_matrix(w, out_w)
 
         @partial(jax.jit, out_shardings=self.sharding)
-        def fn(variables, slices):  # (B, H, W) f32 in [0,1]
-            x = jnp.einsum("oh,bhw->bow", rh, slices)
+        def fn(variables, slices):  # (B, H, W) f32 in [0,1], or uint8
+            x = slices.astype(jnp.float32)
+            if normalize:  # uint8 → [0,1] ON DEVICE (4× less H2D traffic)
+                x = x * (1.0 / 255.0)
+            x = jnp.einsum("oh,bhw->bow", rh, x)
             x = jnp.einsum("pw,bow->bop", rw, x)
             feats = self.module.apply(variables, x)  # (B, gh·gw, C)
             feats = feats.reshape(-1, gh, gw, self.cfg.embed_dim)
@@ -120,10 +123,12 @@ class DinoExtractor:
         return fn
 
     def extract(self, stack: np.ndarray) -> np.ndarray:
-        """``(D, H, W)`` f32 padded-to-16 slice stack → ``(C, D, gh, gw)``
-        fp16 features (reference ``_dino_features`` output layout)."""
+        """``(D, H, W)`` padded-to-16 slice stack → ``(C, D, gh, gw)`` fp16
+        features (reference ``_dino_features`` output layout). f32 input is
+        taken as already normalized; uint8 transfers raw and rescales to
+        [0, 1] on device."""
         d, h, w = stack.shape
-        fn = self._batch_fn(h, w)
+        fn = self._batch_fn(h, w, normalize=stack.dtype == np.uint8)
         bs = self.batch_size
         outs = []
         for i in range(0, d, bs):
@@ -277,9 +282,8 @@ def run_trainer(cfg: DotDict, dino_cfg: DinoV2Config | None = None) -> None:
         for name in names:
             source = _read_source(tomo_dir / name)
             data = source["data"]
-            stack = (
-                data.astype(np.float32) / 255.0 if data.dtype == np.uint8 else data.astype(np.float32)
-            )
+            # uint8 stays uint8 — the extractor normalizes on device
+            stack = data if data.dtype == np.uint8 else data.astype(np.float32)
             stack = pad_slices_to_multiple(stack)
             features = extractor.extract(stack)
             save_feature_hdf(source, features, name, dst_dir / sample)

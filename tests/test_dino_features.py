@@ -6,6 +6,7 @@ import pandas as pd
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from cryovit_tpu.config import compose
 from cryovit_tpu.io import write_hdf
@@ -35,6 +36,35 @@ def test_extractor_output_layout(tiny_variables, rng):
     assert feats.shape == (cfg.embed_dim, 6, 2, 3)
     assert feats.dtype == np.float16
     assert np.isfinite(feats).all()
+
+
+def test_extractor_uint8_device_normalization(tiny_variables, rng):
+    """uint8 stacks transfer raw (4× less H2D) and normalize on device —
+    features must equal the host-normalized f32 path exactly."""
+    cfg, variables = tiny_variables
+    extractor = DinoExtractor(variables, cfg=cfg, batch_size=4)
+    raw = rng.integers(0, 256, size=(4, 32, 32)).astype(np.uint8)
+    f_u8 = extractor.extract(raw)
+    f_f32 = extractor.extract(raw.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(f_u8, f_f32, atol=1e-3)
+
+
+def test_fused_uint8_matches_f32(tiny_variables, rng):
+    from cryovit_tpu.models.cryovit import CryoVITModule
+    from cryovit_tpu.models.fused import FusedDinoCryoVIT
+
+    cfg, variables = tiny_variables
+    dec = CryoVITModule(dtype=jnp.float32)
+    decv = dec.init(
+        jax.random.key(1), jnp.zeros((1, 2, 2, 2, cfg.embed_dim))
+    )
+    pipe = FusedDinoCryoVIT(
+        variables, decv, dino_cfg=cfg, dtype=jnp.float32, slice_batch=4
+    )
+    raw = rng.integers(0, 256, size=(4, 32, 32)).astype(np.uint8)
+    p_u8 = np.asarray(pipe.segment(raw))
+    p_f32 = np.asarray(pipe.segment(raw.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(p_u8, p_f32, atol=1e-5)
 
 
 def test_extractor_tail_batch_consistency(tiny_variables, rng):
