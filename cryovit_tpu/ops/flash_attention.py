@@ -284,10 +284,12 @@ def _flash_kernel_paired(
 
         s0 = scores(kb, 0)
         s1 = scores(kb, 1)
-        pb0 = softmax_block(s0)
+        # one softmax pass over both heads stacked on sublanes: same
+        # element count, half the per-op loop overhead
+        pb = softmax_block(jnp.concatenate([s0, s1], axis=0))
+        pb0, pb1 = pb[:block_q], pb[block_q:]
         out0 = pv(pb0, vb, 0)
         l0 = rowsum(pb0)
-        pb1 = softmax_block(s1)
         out1 = pv(pb1, vb, 1)
         l1 = rowsum(pb1)
         acc = jnp.concatenate([out0, out1], axis=-1)
@@ -380,11 +382,22 @@ def flash_attention_pairs(
     # 1029→1040 instead of 1152 trims ~10% of kernel + projection work.
     # For longer sequences pick the block size minimizing round-up waste
     # (e.g. 4101 tokens: 1040-blocks pad 1.4% where 512-blocks pad 12%).
-    if block_q is None:
-        block_q = _round_up(n, 16) if n <= 1280 else _best_block(n)
-    if block_k is None:
-        # single K block while the (bq, bk) f32 score tile stays VMEM-sized
-        block_k = _round_up(n, 16) if n <= 1536 else _best_block(n)
+    if block_q is None or block_k is None:
+        nk_full = _round_up(n, 16)
+        # prefer a single K block (static fast path, no online-softmax
+        # correction state) whenever a query block of ≥256 rows still fits
+        # the VMEM budget for the f32 score + bf16 numerator tiles (~6B/elem)
+        bq_fit = min(1088, (9_000_000 // (nk_full * 6)) // 16 * 16)
+        if n <= 1280:
+            bq_auto, bk_auto = _round_up(n, 16), nk_full
+        elif bq_fit >= 256:
+            bq_auto, bk_auto = _best_block(n, lo=256, hi=bq_fit), nk_full
+        else:
+            bq_auto, bk_auto = _best_block(n), _best_block(n)
+        if block_q is None:
+            block_q = bq_auto
+        if block_k is None:
+            block_k = bk_auto
     block_q = min(block_q, _round_up(n, 16))
     block_k = min(block_k, _round_up(n, 16))
     nq = _round_up(n, block_q)
