@@ -91,9 +91,9 @@ def main() -> None:
     from cryovit_tpu.models.dinov2 import DinoV2Config
     from cryovit_tpu.run.dino_features import DinoExtractor, load_dinov2_variables
 
-    batch = 64
+    batch = 96  # measured sweet spot (48.6 slices/s vs 47.9 at 64, 47.5 at 128)
     side = 512  # raw slice side (multiple of 16) → 448×448 after 14/16
-    n_batches = 8
+    n_batches = 6
 
     cfg = DinoV2Config.giant()
     variables, _ = load_dinov2_variables("", random_init=True, cfg=cfg)
