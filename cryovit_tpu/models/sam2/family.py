@@ -184,10 +184,29 @@ class SAM2(BaseModel):
         }
         return {"slices": data, "backbone": backbone, **extra}
 
+    def _stop_frozen(self, variables):
+        """`stop_gradient` on every frozen parameter group (reference:
+        `requires_grad_(False)` on encoder/prompt-encoder/memory modules and
+        the decoder base, models/sam2.py:69-79). Without this the generic
+        train step differentiates THROUGH the frozen Hiera encoder — a
+        backward pass (and activation liveness) that the reference never
+        pays; with it XLA dead-code-eliminates the entire frozen backward."""
+        flat, treedef = jax.tree_util.tree_flatten_with_path(variables)
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jax.lax.stop_gradient(leaf)
+                if self._param_group(path) == "frozen"
+                else leaf
+                for path, leaf in flat
+            ],
+        )
+
     def apply(self, variables: Any, data) -> jnp.ndarray:
         return self.apply_with_aux(variables, data)[0]
 
     def apply_with_aux(self, variables: Any, data):
+        variables = self._stop_frozen(variables)
         if isinstance(data, dict):
             out = self.module.apply(
                 variables,
