@@ -45,17 +45,21 @@ def random_crop(
     *,
     feature_space: bool,
     rng: np.random.Generator | None = None,
+    max_depth: int = MAX_CROP_DEPTH,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Random train-time crop (reference ``tomo_dataset.py:148-178``).
 
     ``data`` is channels-last ``(D, H, W, C)``; ``label`` is ``(D, LH, LW)``
     at voxel resolution. In feature space the crop side is 32 patches and
-    label coordinates scale by 16.
+    label coordinates scale by 16. ``max_depth`` defaults to the reference
+    recipe's 128; a single 16 GB v5e chip fits up to 64 (BASELINE.md) —
+    deeper crops need a ≥2-chip depth-sharded mesh or a smaller setting
+    (``datamodule.dataset.max_crop_depth=64``).
     """
     rng = rng or np.random.default_rng()
     side = FEATURE_CROP_SIDE if feature_space else VOXEL_CROP_SIDE
     d, h, w = data.shape[:3]
-    x, y, z = min(d, MAX_CROP_DEPTH), side, side
+    x, y, z = min(d, max_depth), side, side
     if (d, h, w) == (x, y, z):
         return data, label
 
@@ -94,6 +98,7 @@ class TomoDataset:
         aux_keys: Sequence[str] = (),
         split_key: str | None = None,
         seed: int | None = None,
+        max_crop_depth: int = MAX_CROP_DEPTH,
     ) -> None:
         self.records = records.reset_index(drop=True)
         self.input_key = input_key
@@ -103,6 +108,7 @@ class TomoDataset:
         self.aux_keys = list(aux_keys or [])
         self.split_key = split_key
         self.rng = np.random.default_rng(seed)
+        self.max_crop_depth = int(max_crop_depth)
 
     def __len__(self) -> int:
         return len(self.records)
@@ -149,6 +155,7 @@ class TomoDataset:
                 label,
                 feature_space=self.input_key == "dino_features",
                 rng=self.rng,
+                max_depth=self.max_crop_depth,
             )
 
         split_id = (
@@ -178,6 +185,7 @@ class FileDataset:
         for_dino: bool = False,
         use_sam: bool = False,
         seed: int | None = None,
+        max_crop_depth: int = MAX_CROP_DEPTH,
     ) -> None:
         self.files = files
         self.input_key = input_key
@@ -186,6 +194,7 @@ class FileDataset:
         self.for_dino = for_dino
         self.use_sam = use_sam
         self.rng = np.random.default_rng(seed)
+        self.max_crop_depth = int(max_crop_depth)
         self._key_cache: dict[Path, str] = {}
 
     def __len__(self) -> int:
@@ -236,6 +245,7 @@ class FileDataset:
                 data_cl,
                 label,
                 feature_space=self.input_key == "dino_features",
+                max_depth=self.max_crop_depth,
                 rng=self.rng,
             )
         else:

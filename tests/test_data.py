@@ -96,6 +96,18 @@ def test_random_crop_feature_space(rng):
     assert out_l.shape == (128, 512, 512)
 
 
+def test_random_crop_max_depth_override(rng):
+    """max_crop_depth knob: 16 GB single-chip training uses 64 instead of
+    the reference's 128 (BASELINE.md crop envelope)."""
+    data = rng.standard_normal((140, 40, 40, 8)).astype(np.float32)
+    label = rng.integers(0, 2, size=(140, 640, 640)).astype(np.int8)
+    out_d, out_l = random_crop(
+        data, label, feature_space=True, rng=rng, max_depth=64
+    )
+    assert out_d.shape == (64, 32, 32, 8)
+    assert out_l.shape == (64, 512, 512)
+
+
 def test_random_crop_voxel_space_small_volume(rng):
     data = rng.standard_normal((10, 64, 64, 1)).astype(np.float32)
     label = rng.integers(0, 2, size=(10, 64, 64)).astype(np.int8)
