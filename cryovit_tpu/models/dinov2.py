@@ -515,7 +515,10 @@ def make_dinov2(
     if pair_heads is None:
         pair_heads = head_dim == 64 and cfg.num_heads % 2 == 0
     if residual_dtype is None:
-        residual_dtype = jnp.float32
+        # follow the compute dtype: a bf16 residual stream halves the HBM
+        # traffic of every LN read and residual read-modify-write (feature
+        # fidelity vs the f32 oracle: cosine 0.999997, BASELINE.md)
+        residual_dtype = dtype
     qkv_attention_fn = None
     pair_attention_fn = None
     if use_flash_attention:
