@@ -81,7 +81,9 @@ class SAM2(BaseModel):
 
     def __init__(self, **kwargs: Any) -> None:
         custom = dict(kwargs.get("custom_kwargs") or {})
-        self.prompt_lr = float(custom.pop("prompt_lr", 3e-5))
+        # code default mirrors the reference config surface
+        # (reference configs/model/default_sam.yaml:6)
+        self.prompt_lr = float(custom.pop("prompt_lr", 1e-4))
         self.use_cache_features = bool(custom.pop("use_cache_features", False))
         self.num_init_cond_slices = tuple(custom.pop("num_init_cond_slices", (1, 1)))
         self.rand_init_cond_slices = tuple(

@@ -140,13 +140,31 @@ def is_torch_zip(path: str | Path) -> bool:
 
 
 def load_torch_state_dict(path: str | Path) -> dict[str, np.ndarray]:
-    """Read a ``torch.save``-d state dict (reference ``weights.pt``)."""
+    """Read a ``torch.save``-d state dict: a raw reference ``weights.pt``
+    or a Lightning ``last.ckpt`` (reference ``run/train_model.py:107-130``
+    accepts both for fine-tuning).
+
+    Lightning checkpoints wrap the module state under ``state_dict``; the
+    module's own keys carry Lightning-side artifacts we normalize away:
+    ``_orig_mod.`` segments from ``torch.compile`` wrapping, a ``model.``
+    prefix when the LightningModule nests the network (reference SAM2,
+    ``models/sam2.py:63``), and torchmetrics buffers
+    (``metric_fns.TRAIN...``) that have no role in a weight import.
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:  # Lightning checkpoint
         sd = sd["state_dict"]
-    return _to_numpy_state_dict(sd)
+    sd = _to_numpy_state_dict(sd)
+    sd = {
+        k.replace("._orig_mod.", ".").removeprefix("_orig_mod."): v
+        for k, v in sd.items()
+        if not k.startswith(("metric_fns.", "loss_fns."))
+    }
+    if sd and all(k.startswith("model.") for k in sd):
+        sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    return sd
 
 
 # ---- state-dict → flax conversions ----------------------------------------

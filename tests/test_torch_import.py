@@ -407,3 +407,55 @@ def test_weights_pt_import(torch_unet, tmp_path):
         fmodel.init, jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1))
     )
     assert _tree_paths(variables) == _tree_paths(expected)
+
+
+def test_lightning_ckpt_import(torch_cryovit, tmp_path, rng):
+    """A reference-style Lightning `last.ckpt` fine-tune checkpoint
+    (state dict under `state_dict`, torchmetrics buffers, torch.compile
+    `_orig_mod.` wrapping) imports through load_weights (reference accepts
+    `.ckpt` at run/train_model.py:107-130)."""
+    inner = {
+        f"_orig_mod.{k}": v for k, v in torch_cryovit.state_dict().items()
+    }
+    # torchmetrics buffers that a real BaseModel checkpoint carries
+    inner["metric_fns.TRAIN.dice_metric.dice"] = torch.zeros(())
+    inner["metric_fns.VAL.dice_metric.total"] = torch.zeros(())
+    ckpt = {
+        "epoch": 49,
+        "global_step": 500,
+        "pytorch-lightning_version": "2.5.2",
+        "state_dict": inner,
+        "loops": {},
+    }
+    path = tmp_path / "last.ckpt"
+    torch.save(ckpt, path)
+
+    variables = load_weights(path)
+    fmodel = CryoVITModule(dtype=jnp.float32)
+    expected = jax.eval_shape(
+        fmodel.init, jax.random.key(0), jnp.zeros((1, 2, 2, 2, 1536))
+    )
+    assert _tree_paths(variables) == _tree_paths(expected)
+
+    feats = rng.standard_normal((1, 2, 2, 2, 1536)).astype(np.float32) * 0.3
+    out_flax = np.asarray(fmodel.apply(variables, jnp.asarray(feats)))
+    with torch.no_grad():
+        out_torch = torch_cryovit(
+            torch.from_numpy(feats.transpose(0, 4, 1, 2, 3))
+        ).numpy()
+    np.testing.assert_allclose(out_flax, out_torch, atol=5e-5)
+
+
+def test_lightning_ckpt_model_prefix_unwrap(torch_unet, tmp_path):
+    """SAM2-style LightningModules nest the network under `self.model`
+    (reference models/sam2.py:63) — a uniform `model.` prefix is stripped."""
+    inner = {f"model.{k}": v for k, v in torch_unet.state_dict().items()}
+    ckpt = {"state_dict": inner, "epoch": 0}
+    path = tmp_path / "nested.ckpt"
+    torch.save(ckpt, path)
+    variables = load_weights(path)
+    fmodel = UNet3DModule(dtype=jnp.float32)
+    expected = jax.eval_shape(
+        fmodel.init, jax.random.key(0), jnp.zeros((1, 16, 16, 16, 1))
+    )
+    assert _tree_paths(variables) == _tree_paths(expected)
