@@ -111,6 +111,17 @@ def _best_block(n: int, lo: int = 256, hi: int = 1088) -> int:
     return best
 
 
+def _pick_q_chunks(bq: int, ch_cap: int) -> int:
+    """Number of q-row chunks for the pipelined single-K-block kernel:
+    the fewest chunks whose (16-aligned) chunk height fits ``ch_cap`` —
+    i.e. the largest chunk that keeps the f32 score tile in its VMEM
+    budget while leaving enough chains to software-pipeline."""
+    for c in range(1, bq // 16 + 1):
+        if bq % c == 0 and (bq // c) % 16 == 0 and bq // c <= ch_cap:
+            return c
+    return 1
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "dtype", "interpret")
 )
@@ -193,24 +204,38 @@ def _flash_kernel_paired(
     scale: float,
     head_dim: int,
     exp2_bf16: bool = False,
+    q_chunks: int = 1,
+    softmax_shift: bool = True,
+    ablate: str = "",
 ):
     """Flash kernel over PAIR-PACKED planes: the block minor dim holds two
     64-wide heads side by side (lane dim 128 → full-width VMEM tiles and
     DMAs; the per-head QK^T contraction stays 64 — that part of the MXU
     inefficiency is inherent to d=64 models).
 
-    The kernel is VPU-bound (measured: softmax element passes over the
-    (BQ, BK) score tile rival the MXU time), so every full-tile pass
-    counts:
+    Every pass over a (BQ, BK)-class tile — MXU or VPU — costs real time
+    (Mosaic serializes large tile ops; measured r2: interleaving
+    independent chains buys <2%), so the kernel minimizes PASSES:
     - ``scale`` is expected pre-folded into q (``scale`` param = 1.0 from
       the production path) — no per-score multiply,
-    - key-padding is handled by multiplying ``exp`` outputs with a 0/1
-      row AFTER the max (a max over padded zero-scores is still a valid
-      softmax shift, so masking before the max is unnecessary), replacing
-      iota+compare+select passes with one multiply,
-    - row sums ride the MXU: ``p @ ones`` instead of a VPU reduction,
-      and use the same bf16-cast ``p`` as the PV matmul so the
-      normalization is self-consistent,
+    - the row sum is FUSED into the PV matmul by appending a ones column
+      to V: ``p @ [v | 1]`` yields the output numerator and the softmax
+      denominator in ONE p-tile pass through the MXU. The standalone
+      ``p @ ones(BK, 8)`` it replaces cost as much MXU time as the PV
+      matmul itself (a full M×K stream at 8/128 output-lane utilization)
+      — it is why the r2 kernel profiled at 24% MXU,
+    - key padding is handled on the SMALL operands, never the score
+      tile: phantom K rows are zeroed (bias included), so their scores
+      are exactly 0 (a bounded, valid softmax shift), and phantom rows
+      of the ones-augmented V are zeroed, so they contribute to neither
+      the numerator nor the denominator — no (BQ, BK) mask multiply,
+    - with ``softmax_shift=False`` (production extractor) the row-max
+      pass is skipped entirely: in the log2 domain the shift only
+      guards exp2 overflow at |s·log2e| ≥ 127, i.e. natural-log logits
+      ≥ 88 — far outside any trained softmax's range, and exactly where
+      the reference's own f32 softmax would overflow too. Downstream
+      consumers guard with an isfinite check and retry with the shifted
+      kernel (``run/dino_features.py``),
     - the common single-K-block case (ViT lengths) statically skips the
       online-softmax correction state.
     """
@@ -226,78 +251,127 @@ def _flash_kernel_paired(
     kbias = bias_ref[0, 1:2]  # (1, P)
     vbias = bias_ref[0, 2:3]
 
-    def kmask_row(i):
-        col = jax.lax.broadcasted_iota(jnp.int32, (8, block_k), 1)
-        return (col + (i * block_k) < kv_len).astype(jnp.float32)[:1]
-
     p_dtype = v_ref.dtype  # bf16 in production; f32 paths stay exact
-    ones_col = jnp.ones((block_k, 8), dtype=p_dtype)
 
     def softmax_num(s, m):
         """exp(s − m) (or exp2 in the log2 domain — the caller folds
         log2(e) into the q scale, so softmax ratios are unchanged), cast
         for the PV matmul. The exp is the kernel's single most expensive
         VPU op (~half its runtime at d=64); evaluating it at bf16 doubles
-        VPU throughput at a cost far below bf16 attention's own quantum."""
-        diff = s - m[:, None]
+        VPU throughput at a cost far below bf16 attention's own quantum.
+        ``m=None`` (softmax_shift=False) skips the shift — see the
+        module docstring for the overflow bound that makes this safe."""
+        diff = s if m is None else s - m[:, None]
         if exp2_bf16:
             return jnp.exp2(diff.astype(jnp.bfloat16)).astype(p_dtype)
         return jnp.exp(diff).astype(p_dtype)
 
-    def scores(kb, h):
+    def scores_of(qs, kb, h):
         # Mosaic requires a 32-bit matmul accumulator/output in-kernel
         # (bf16 preferred_element_type rejected), so the score tile is f32
         s = jax.lax.dot_general(
-            q[:, h * d : (h + 1) * d],
+            qs,
             kb[:, h * d : (h + 1) * d],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return s if scale == 1.0 else s * scale
 
-    def pv(pb, vb, h):
-        return jax.lax.dot_general(
-            pb,
-            vb[:, h * d : (h + 1) * d],
-            (((1,), (0,)), ((), ())),
+    def scores(kb, h):
+        return scores_of(q[:, h * d : (h + 1) * d], kb, h)
+
+    def make_vaug(vb, h, padm):
+        """Per-head ones-augmented V: ``[v_h | 1]`` (BK, D+8); phantom
+        rows zeroed so padded keys vanish from numerator AND denominator.
+        The 8 ones columns keep the append lane-tile friendly; column D
+        of the product is the row sum."""
+        v_h = vb[:, h * d : (h + 1) * d]
+        ones = jnp.ones((v_h.shape[0], 8), dtype=v_h.dtype)
+        vaug = jnp.concatenate([v_h, ones], axis=-1)
+        return vaug if padm is None else vaug * padm.astype(vaug.dtype)
+
+    def pv_aug(pb, vaug):
+        """One MXU pass → (acc (BQ, D), rowsum (BQ,))."""
+        out = jax.lax.dot_general(
+            pb, vaug, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    def rowsum(pb):  # (BQ, BK) bf16 → (BQ,) f32 on the MXU
-        return jax.lax.dot_general(
-            pb, ones_col, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, 0]
+        return out[:, :d], out[:, d]
 
     if num_kb == 1:
-        # single K block: plain 2-pass softmax, no correction state. The
-        # two heads' chains are interleaved so the in-order cores overlap
-        # pipelines: head-1's QK dot (MXU) issues before head-0's softmax
-        # (VPU), and head-0's PV/rowsum dots overlap head-1's softmax.
-        kb = k_ref[0] + kbias
+        # Single K block: plain 2-pass softmax, no correction state,
+        # software-pipelined over (q-row chunk × head) chains so the MXU
+        # and VPU overlap instead of serializing (measured r2: the kernel
+        # ran at 24% MXU because every softmax pass over the full score
+        # tile idled the MXU). Per chain: QK^T dot (MXU) → max+exp (VPU)
+        # → PV + rowsum dots (MXU); chain c+1's QK^T is issued BEFORE
+        # chain c's softmax, so in steady state the VPU runs chain c's
+        # softmax while the MXU retires chain c−1's PV and chain c+1's
+        # scores. Chunking also bounds the f32 score tile to
+        # (chunk, BK) VMEM instead of (BQ, BK).
+        masked = kv_len != kv_pad
+        if masked:
+            # zero the phantom K rows *including their bias* (the zero-
+            # padded rows would otherwise score q·k_bias — an unbounded
+            # shift if it exceeds the real row max); with them exactly
+            # zero the max shift stays ≥ 0 and bounded. The phantom
+            # columns of the p tile need no mask: the matching rows of
+            # the ones-augmented V are zeroed, removing them from both
+            # the numerator and the denominator.
+            row = jax.lax.broadcasted_iota(jnp.int32, (kv_pad, 1), 0)
+            padm = (row < kv_len)
+            kb = (k_ref[0] + kbias) * padm.astype(jnp.float32)
+        else:
+            padm = None
+            kb = k_ref[0] + kbias
         vb = v_ref[0] + vbias
-        mask = None if kv_len == kv_pad else kmask_row(0)
+        vaug = [make_vaug(vb, h, padm) for h in (0, 1)]
 
-        def softmax_block(s):
-            pb = softmax_num(s, jnp.max(s, axis=-1))
-            return pb * mask.astype(p_dtype) if mask is not None else pb
+        ch = block_q // q_chunks
+        chains = [(i, h) for i in range(q_chunks) for h in (0, 1)]
+        S: list = [None] * len(chains)
+        P: list = [None] * len(chains)
+        O: list = [None] * len(chains)
+        L: list = [None] * len(chains)
 
-        s0 = scores(kb, 0)
-        s1 = scores(kb, 1)
-        # one softmax pass over both heads stacked on sublanes: same
-        # element count, half the per-op loop overhead
-        pb = softmax_block(jnp.concatenate([s0, s1], axis=0))
-        pb0, pb1 = pb[:block_q], pb[block_q:]
-        out0 = pv(pb0, vb, 0)
-        l0 = rowsum(pb0)
-        out1 = pv(pb1, vb, 1)
-        l1 = rowsum(pb1)
-        acc = jnp.concatenate([out0, out1], axis=-1)
-        inv = jnp.concatenate(
-            [jnp.repeat(1.0 / l[:, None], d, axis=1) for l in (l0, l1)],
-            axis=-1,
-        )
-        o_ref[0] = (acc * inv).astype(o_ref.dtype)
+        def stage_scores(c):
+            i, h = chains[c]
+            qs = q[i * ch : (i + 1) * ch, h * d : (h + 1) * d]
+            S[c] = scores_of(qs, kb, h)
+
+        def stage_softmax(c):
+            s, S[c] = S[c], None
+            if ablate == "noexp":  # perf-lab attribution only (wrong math)
+                P[c] = s.astype(p_dtype)
+                return
+            m = jnp.max(s, axis=-1) if softmax_shift else None
+            P[c] = softmax_num(s, m)
+
+        def stage_pv(c):
+            _, h = chains[c]
+            p, P[c] = P[c], None
+            if ablate == "nopv":  # perf-lab attribution only (wrong math)
+                O[c] = p[:, :d].astype(jnp.float32)
+                L[c] = jnp.ones((p.shape[0],), jnp.float32)
+                return
+            O[c], L[c] = pv_aug(p, vaug[h])
+
+        stage_scores(0)
+        for c in range(len(chains)):
+            if c + 1 < len(chains):
+                stage_scores(c + 1)
+            stage_softmax(c)
+            stage_pv(c)
+        for i in range(q_chunks):
+            (o0, l0), (o1, l1) = (O[2 * i], L[2 * i]), (O[2 * i + 1], L[2 * i + 1])
+            out = jnp.concatenate(
+                [
+                    o0 * jnp.repeat((1.0 / l0)[:, None], d, axis=1),
+                    o1 * jnp.repeat((1.0 / l1)[:, None], d, axis=1),
+                ],
+                axis=-1,
+            )
+            o_ref[0, i * ch : (i + 1) * ch, :] = out.astype(o_ref.dtype)
         return
 
     m0 = jnp.full((2, block_q), NEG_INF, dtype=jnp.float32)
@@ -306,23 +380,29 @@ def _flash_kernel_paired(
 
     def body(i, carry):
         m_prev, l_prev, acc = carry
-        kb = k_ref[0, pl.ds(i * block_k, block_k), :] + kbias  # (BK, 2D)
+        # phantom K rows zeroed bias-included (bounded max shift); the
+        # matching rows of the ones-augmented V are zeroed below, so no
+        # (BQ, BK) mask multiply is needed in this path either
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        padm = (row + i * block_k) < kv_len
+        kb = (k_ref[0, pl.ds(i * block_k, block_k), :] + kbias) * padm.astype(
+            jnp.float32
+        )
         vb = v_ref[0, pl.ds(i * block_k, block_k), :] + vbias
-        mask = kmask_row(i)
 
         outs, ms, ls = [], [], []
         for h in (0, 1):
+            vaug = make_vaug(vb, h, padm)
             s = scores(kb, h)
-            # padded keys score 0 (zero-padded k); the block max is only a
-            # softmax shift, so masking before it is unnecessary — but it
-            # must not *decrease* below the running max of real scores
+            # the block max must not *decrease* below the running max
             m_new = jnp.maximum(m_prev[h], jnp.max(s, axis=-1))
-            pb = softmax_num(s, m_new) * mask.astype(p_dtype)
+            pb = softmax_num(s, m_new)
             diff_m = m_prev[h] - m_new
             correction = jnp.exp2(diff_m) if exp2_bf16 else jnp.exp(diff_m)
-            ls.append(l_prev[h] * correction + rowsum(pb))
+            o_h, l_h = pv_aug(pb, vaug)
+            ls.append(l_prev[h] * correction + l_h)
             outs.append(
-                acc[:, h * d : (h + 1) * d] * correction[:, None] + pv(pb, vb, h)
+                acc[:, h * d : (h + 1) * d] * correction[:, None] + o_h
             )
             ms.append(m_new)
         return (
@@ -341,7 +421,8 @@ def _flash_kernel_paired(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "block_q", "block_k", "interpret", "pre_scaled", "exp2_bf16", "true_len"
+        "block_q", "block_k", "interpret", "pre_scaled", "exp2_bf16",
+        "true_len", "q_chunks", "softmax_shift", "ablate",
     ),
 )
 def flash_attention_pairs(
@@ -355,6 +436,9 @@ def flash_attention_pairs(
     exp2_bf16: bool = False,
     true_len: int | None = None,
     kv_bias: jnp.ndarray | None = None,
+    q_chunks: int | None = None,
+    softmax_shift: bool = True,
+    ablate: str = "",
 ) -> jnp.ndarray:
     """Flash attention on pair-packed ``(B, H/2, N, 2·D)`` planes → same
     layout. Plane ``g`` holds heads ``2g`` (lanes ``0:D``) and ``2g+1``
@@ -385,13 +469,15 @@ def flash_attention_pairs(
     if block_q is None or block_k is None:
         nk_full = _round_up(n, 16)
         # prefer a single K block (static fast path, no online-softmax
-        # correction state) whenever a query block of ≥256 rows still fits
-        # the VMEM budget for the f32 score + bf16 numerator tiles (~6B/elem)
-        bq_fit = min(1088, (9_000_000 // (nk_full * 6)) // 16 * 16)
+        # correction state) whenever a ≥128-row q CHUNK's f32 score +
+        # bf16 numerator tiles (~6B/elem) fit the VMEM budget — the
+        # pipelined kernel holds one chunk's score tile at a time, so
+        # the q *block* can be much larger than the old per-block fit
+        ch_cap = min(320, (6_000_000 // (nk_full * 6)) // 16 * 16)
         if n <= 1280:
             bq_auto, bk_auto = _round_up(n, 16), nk_full
-        elif bq_fit >= 256:
-            bq_auto, bk_auto = _best_block(n, lo=256, hi=bq_fit), nk_full
+        elif ch_cap >= 128:
+            bq_auto, bk_auto = _best_block(n, lo=256, hi=1088), nk_full
         else:
             bq_auto, bk_auto = _best_block(n), _best_block(n)
         if block_q is None:
@@ -400,6 +486,15 @@ def flash_attention_pairs(
             block_k = bk_auto
     block_q = min(block_q, _round_up(n, 16))
     block_k = min(block_k, _round_up(n, 16))
+    if q_chunks is None:
+        nk_full = _round_up(n, 16)
+        ch_cap = min(320, (6_000_000 // (nk_full * 6)) // 16 * 16)
+        q_chunks = _pick_q_chunks(block_q, max(ch_cap, 16))
+    if block_q % q_chunks or (block_q // q_chunks) % 16:
+        raise ValueError(
+            f"q_chunks={q_chunks} must divide block_q={block_q} into "
+            "16-aligned chunks"
+        )
     nq = _round_up(n, block_q)
     nk = _round_up(n, block_k)
 
@@ -427,6 +522,9 @@ def flash_attention_pairs(
             scale=scale,
             head_dim=d,
             exp2_bf16=exp2_bf16,
+            q_chunks=q_chunks,
+            softmax_shift=softmax_shift,
+            ablate=ablate,
         ),
         grid=grid,
         in_specs=[

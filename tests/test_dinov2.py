@@ -33,10 +33,11 @@ def test_flash_attention_matches_reference(rng, n):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-@pytest.mark.parametrize("n,block_k", [(200, 1536), (300, 128)])
+@pytest.mark.parametrize("n,block_k", [(200, 1536), (300, 128), (640, 1536)])
 def test_flash_attention_pairs_matches_reference(rng, n, block_k):
     """Pair-packed kernel (adjacent head pairs on 128 lanes): single-block
-    fast path and multi-block online-softmax path, plus pre-scaled q."""
+    fast path (n=640 auto-picks a multi-chunk pipelined body), multi-block
+    online-softmax path, plus pre-scaled q."""
     from cryovit_tpu.ops.flash_attention import flash_attention_pairs
 
     b, h, d = 2, 4, 64

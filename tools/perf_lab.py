@@ -97,6 +97,22 @@ def main():
         "pairs_bk576": lambda: pairs_module(functools.partial(fa, block_k=576)),
         "pairs_bq384": lambda: pairs_module(functools.partial(fa, block_q=384)),
         "pairs_bq128": lambda: pairs_module(functools.partial(fa, block_q=128)),
+        # pipelined single-K-block kernel: q-chunk sweep (auto = VMEM cap)
+        "pairs_qc1": lambda: pairs_module(functools.partial(fa, q_chunks=1)),
+        "pairs_qc2": lambda: pairs_module(functools.partial(fa, q_chunks=2)),
+        "pairs_qc5": lambda: pairs_module(functools.partial(fa, q_chunks=5)),
+        "pairs_qc13": lambda: pairs_module(functools.partial(fa, q_chunks=13)),
+        "pairs_qc65": lambda: pairs_module(functools.partial(fa, q_chunks=65)),
+        # r3: no row-max pass (exp2 overflow bound documented in the kernel)
+        "pairs_noshift": lambda: pairs_module(
+            functools.partial(fa, softmax_shift=False)
+        ),
+        "pairs_noshift_qc1": lambda: pairs_module(
+            functools.partial(fa, softmax_shift=False, q_chunks=1)
+        ),
+        # kernel-body attribution (wrong math, timing only)
+        "pairs_noexp": lambda: pairs_module(functools.partial(fa, ablate="noexp")),
+        "pairs_nopv": lambda: pairs_module(functools.partial(fa, ablate="nopv")),
     }
     want = sys.argv[1:] or list(variants)
     for name in want:
