@@ -73,6 +73,13 @@ class SAM2Config:
     iou_head_depth: int = 3
     max_obj_ptrs: int = 16
     no_obj_score: float = -1024.0  # reference models/sam2.py:45
+    # sam2.1 memory-encoding affine on the sigmoid mask
+    # (sam2.1_hiera_l.yaml: sigmoid_scale/bias_for_mem_enc)
+    sigmoid_scale_for_mem_enc: float = 20.0
+    sigmoid_bias_for_mem_enc: float = -10.0
+    # sam2.1: temporal sine PE projected onto object-pointer tokens
+    # (add_tpos_enc_to_obj_ptrs + proj_tpos_enc_in_obj_ptrs)
+    add_tpos_enc_to_obj_ptrs: bool = True
     # capacity of the conditioning-memory slots (reference trains with a
     # random number of init cond slices up to num_init_cond_slices,
     # models/sam2.py:404-443); the bank reserves this many cond slots

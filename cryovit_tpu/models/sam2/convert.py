@@ -4,15 +4,17 @@ Maps the ``sam2.1_hiera_large.pt`` / ``MedSAM2_latest.pt`` state dicts
 (the checkpoints the reference downloads from HF hub,
 ``models/sam2.py:31-39, 845-874``) onto this package's module tree.
 
-NOTE on fidelity: this converter targets the published sam2 state-dict
-naming. The flax rebuild makes a small number of documented architectural
-simplifications (single fused qkv in Hiera matches sam2; the memory
-attention uses one attention head; fuser LayerScale merged). Conversion is
-validated structurally (every checkpoint tensor consumed, every flax param
-filled); numerical parity validation against the torch package is a
-follow-up once checkpoints are available in the build environment (zero
-egress here). Until then converted weights should be treated as
-experimental.
+Fidelity: the converter covers the full published module set — Hiera
+trunk + FPN neck, prompt encoder, mask decoder, memory encoder, memory
+attention, and the SAM2-level embeddings (``no_mem_embed``,
+``no_mem_pos_enc``, ``maskmem_tpos_enc``, ``obj_ptr_proj``,
+``obj_ptr_tpos_proj``, ``no_obj_ptr``). The mapping is validated
+end-to-end in ``tests/test_sam2_torch_parity.py``: torch clones of the
+sam2 modules (each citing the sam2 file/class it mirrors) are assembled
+into a state dict with the published tensor naming, pushed through
+:func:`convert_sam2_state_dict`, and the resulting flax forward is
+asserted against the torch clone forward. Unknown checkpoint keys are
+logged, never silently dropped.
 """
 
 from __future__ import annotations
@@ -26,7 +28,27 @@ from cryovit_tpu.models.sam2.config import SAM2Config
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["convert_sam2_state_dict", "convert_encoder_state_dict"]
+__all__ = [
+    "convert_sam2_state_dict",
+    "convert_encoder_state_dict",
+    "convert_memory_encoder_state_dict",
+    "convert_memory_attention_state_dict",
+]
+
+
+class _TrackingDict(dict):
+    """State-dict wrapper recording which keys the conversion consumed."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+    def __contains__(self, key):  # membership probes don't count as use
+        return super().__contains__(key)
 
 
 def _np(v) -> np.ndarray:
@@ -81,9 +103,70 @@ def convert_encoder_state_dict(
         trunk[f"block{i}"] = block
 
     params: dict[str, Any] = {"trunk": trunk}
-    for i in range(len(hiera.stages)):
-        params[f"neck_conv{i}"] = _conv(sd, f"image_encoder.neck.convs.{i}.conv")
+    # sam2 FPNNeck builds convs from backbone_channel_list ordered
+    # low-res→high-res ([1152, 576, 288, 144] for hiera-L), while the flax
+    # neck_conv{i} index follows the trunk output order (high-res first) —
+    # convs.0 (stride 32) pairs with the LAST flax lateral
+    n_levels = len(hiera.stages)
+    for i in range(n_levels):
+        params[f"neck_conv{i}"] = _conv(
+            sd, f"image_encoder.neck.convs.{n_levels - 1 - i}.conv"
+        )
     return {"params": params}
+
+
+def convert_memory_encoder_state_dict(sd: dict[str, Any]) -> dict[str, Any]:
+    """``memory_encoder.*`` tensors → :class:`MemoryEncoder` params
+    (sam2/modeling/memory_encoder.py: MaskDownSampler ``encoder``
+    Sequential [conv, LN, GELU]×4 + final 1×1 conv at index 12;
+    ``pix_feat_proj``; ``fuser.layers.{i}`` CXBlocks; ``out_proj``)."""
+    me = "memory_encoder"
+    menc: dict[str, Any] = {
+        "pix_proj": _conv(sd, f"{me}.pix_feat_proj"),
+        "out_proj": _conv(sd, f"{me}.out_proj"),
+        "mask_down_final": _conv(sd, f"{me}.mask_downsampler.encoder.12"),
+    }
+    for i in range(4):
+        menc[f"mask_down{i}"] = _conv(sd, f"{me}.mask_downsampler.encoder.{3 * i}")
+        menc[f"mask_ln{i}"] = _ln(sd, f"{me}.mask_downsampler.encoder.{3 * i + 1}")
+    for i in range(2):
+        fp = f"{me}.fuser.layers.{i}"
+        menc[f"fuser_dw{i}"] = _conv(sd, f"{fp}.dwconv")
+        menc[f"fuser_ln{i}"] = _ln(sd, f"{fp}.norm")
+        menc[f"fuser_fc1_{i}"] = _dense(sd, f"{fp}.pwconv1")
+        menc[f"fuser_fc2_{i}"] = _dense(sd, f"{fp}.pwconv2")
+        menc[f"fuser_gamma{i}"] = _np(sd[f"{fp}.gamma"])
+    return {"params": menc}
+
+
+def convert_memory_attention_state_dict(
+    sd: dict[str, Any], cfg: SAM2Config
+) -> dict[str, Any]:
+    """``memory_attention.*`` tensors → :class:`MemoryAttention` params
+    (sam2/modeling/memory_attention.py: ``layers.{i}`` with
+    ``self_attn``/``cross_attn_image`` RoPEAttention q/k/v/out
+    projections, ``linear1``/``linear2`` MLP, ``norm1-3``; final
+    ``norm``)."""
+    ma = "memory_attention"
+    mattn: dict[str, Any] = {"norm_out": _ln(sd, f"{ma}.norm")}
+    for i in range(cfg.memory_attention_layers):
+        lp = f"{ma}.layers.{i}"
+        mattn[f"layer{i}"] = {
+            "self_q": _dense(sd, f"{lp}.self_attn.q_proj"),
+            "self_k": _dense(sd, f"{lp}.self_attn.k_proj"),
+            "self_v": _dense(sd, f"{lp}.self_attn.v_proj"),
+            "self_out": _dense(sd, f"{lp}.self_attn.out_proj"),
+            "cross_q": _dense(sd, f"{lp}.cross_attn_image.q_proj"),
+            "cross_k": _dense(sd, f"{lp}.cross_attn_image.k_proj"),
+            "cross_v": _dense(sd, f"{lp}.cross_attn_image.v_proj"),
+            "cross_out": _dense(sd, f"{lp}.cross_attn_image.out_proj"),
+            "norm1": _ln(sd, f"{lp}.norm1"),
+            "norm2": _ln(sd, f"{lp}.norm2"),
+            "norm3": _ln(sd, f"{lp}.norm3"),
+            "mlp_fc1": _dense(sd, f"{lp}.linear1"),
+            "mlp_fc2": _dense(sd, f"{lp}.linear2"),
+        }
+    return {"params": mattn}
 
 
 def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, Any]:
@@ -93,16 +176,18 @@ def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, An
     by the family wrapper. Unconsumed checkpoint keys are logged so gaps are
     visible rather than silent.
     """
+    sd = _TrackingDict(sd)
     params: dict[str, Any] = {}
     params["image_encoder"] = convert_encoder_state_dict(sd, cfg)["params"]
 
     # prompt encoder
     pe = "sam_prompt_encoder"
     params["prompt_encoder"] = {
-        # torch stores (d/2, 2); this module multiplies coords @ (2, d/2)
+        # sam2 PositionEmbeddingRandom stores (2, num_pos_feats) and
+        # multiplies coords @ matrix — identical layout to this module
         "pe_gaussian": _np(
             sd[f"{pe}.pe_layer.positional_encoding_gaussian_matrix"]
-        ).T,
+        ),
         "point_embeddings": np.stack(
             [_np(sd[f"{pe}.point_embeddings.{i}.weight"])[0] for i in range(4)]
         ),
@@ -174,16 +259,27 @@ def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, An
     dec["norm_final"] = _ln(sd, f"{md}.transformer.norm_final_attn")
     params["mask_decoder"] = dec
 
+    params["memory_encoder"] = convert_memory_encoder_state_dict(sd)["params"]
+    params["memory_attention"] = convert_memory_attention_state_dict(sd, cfg)[
+        "params"
+    ]
+
     # SAM2-level embeddings
     params["no_mem_embed"] = _np(sd["no_mem_embed"])
+    params["no_mem_pos_enc"] = _np(sd["no_mem_pos_enc"])
     params["maskmem_tpos_enc"] = _np(sd["maskmem_tpos_enc"]).reshape(
         cfg.num_maskmem, -1
     )
     params["obj_ptr_proj"] = _dense(sd, "obj_ptr_proj")
+    if cfg.add_tpos_enc_to_obj_ptrs and "obj_ptr_tpos_proj.weight" in sd:
+        params["obj_ptr_tpos_proj"] = _dense(sd, "obj_ptr_tpos_proj")
     params["no_obj_ptr"] = _np(sd["no_obj_ptr"]).reshape(-1)
 
-    logger.warning(
-        "SAM2 conversion is structural; memory encoder/attention weights use "
-        "a simplified mapping pending numerical validation (see module docstring)."
-    )
+    unconsumed = sorted(set(sd) - sd.consumed)
+    if unconsumed:
+        logger.warning(
+            "SAM2 conversion left %d checkpoint tensors unconsumed: %s",
+            len(unconsumed),
+            ", ".join(unconsumed[:12]) + ("..." if len(unconsumed) > 12 else ""),
+        )
     return {"params": {"sam": params}}

@@ -111,6 +111,59 @@ class SAM2(BaseModel):
         self.sam_cfg = cfg
         return _SAM2Forward(cfg=cfg, dtype=self.dtype)
 
+    # ---- pretrained weights ---------------------------------------------
+
+    def load_pretrained_variables(self, sam_dir) -> dict | None:
+        """Locate and load pretrained SAM2/MedSAM weights from ``sam_dir``
+        (reference ``create_sam_model_from_weights``,
+        ``models/sam2.py:802-842``, fed from ``model_dir/SAM2``).
+
+        Accepts either a converted flax msgpack (``tools/convert_sam2.py``)
+        or the raw published torch checkpoint. Returns a PARTIAL variables
+        tree to overlay on ``model.init`` output via ``merge_variables``
+        (the PromptPredictor and LoRA adapters stay freshly initialized,
+        as in the reference, which applies LoRA after the strict load).
+        Returns None with a warning when no file exists — the reference
+        downloads from HF hub; this environment has no network, so random
+        initialization is the documented fallback.
+        """
+        import logging
+        from pathlib import Path
+
+        log = logging.getLogger(__name__)
+        sam_dir = Path(sam_dir)
+        medsam = self.model_type == ModelType.MEDSAM
+        candidates = (
+            ["medsam2_weights.msgpack", "MedSAM2_latest.pt"]
+            if medsam
+            else ["sam2_weights.msgpack", "sam2.1_hiera_large.pt"]
+        )
+        for name in candidates:
+            path = sam_dir / name
+            if not path.exists():
+                continue
+            if path.suffix == ".msgpack":
+                from flax.serialization import msgpack_restore
+
+                log.info("loading converted SAM2 weights from %s", path)
+                return msgpack_restore(path.read_bytes())
+            import torch
+
+            from cryovit_tpu.models.sam2.convert import convert_sam2_state_dict
+
+            log.info("converting torch SAM2 checkpoint %s", path)
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "model" in sd:
+                sd = sd["model"]
+            return convert_sam2_state_dict(sd, self.sam_cfg)
+        log.warning(
+            "no pretrained SAM2 weights found in %s (looked for %s); "
+            "training from random initialization",
+            sam_dir,
+            ", ".join(candidates),
+        )
+        return None
+
     # ---- forward ---------------------------------------------------------
 
     def _sample_cond_slices(self, d_eff: int, min_slices: int):

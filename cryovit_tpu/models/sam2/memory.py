@@ -1,17 +1,35 @@
 """SAM2 memory subsystem: memory encoder + memory attention.
 
-- :class:`MemoryEncoder`: fuses the predicted mask (16×-downsampled by
-  strided convs) with the slice's pixel features and projects to the
-  compact ``mem_dim`` memory channel (sam2 MaskDownSampler + Fuser).
-- :class:`MemoryAttention`: transformer layers where the current slice's
-  features self-attend (2D axial RoPE) and cross-attend to the memory bank
-  (spatial memories + object-pointer tokens).
+Faithful flax rebuilds of the published sam2 modules (the reference uses
+the stock ``sam2`` package via ``SAM2Base``, reference
+``models/sam2.py:322-342``), so ``sam2.1_hiera_large`` / ``MedSAM2``
+checkpoints map tensor-for-tensor (see ``convert.py``):
+
+- :class:`MemoryEncoder` ≙ ``sam2/modeling/memory_encoder.py``:
+  ``MaskDownSampler`` (4 strided 3×3 convs 1→4→16→64→256, LayerNorm2d
+  eps 1e-6 + GELU, then a final 1×1 conv), ``pix_feat_proj`` 1×1,
+  ``Fuser`` of 2 ``CXBlock``s (7×7 depthwise conv + LN + pointwise MLP +
+  LayerScale), 1×1 ``out_proj`` to ``mem_dim``.
+- :class:`MemoryAttention` ≙ ``sam2/modeling/memory_attention.py``:
+  ``MemoryAttentionLayer`` with ``RoPEAttention`` self-attention
+  (separate q/k/v/out projections, axial RoPE applied after head split)
+  and ``RoPEAttention(kv_in_dim=mem_dim, rope_k_repeat=True)``
+  cross-attention to the memory bank (k/v project mem_dim→d_model; RoPE
+  on the spatial memory tokens only — object-pointer tokens are excluded
+  via ``num_k_exclude_rope``), ReLU MLP (``dim_feedforward`` 8·d), and
+  the module-level contracts: ``pos_enc_at_input`` adds 0.1·curr_pos,
+  ``pos_enc_at_cross_attn_keys`` adds the memory pos embedding to k (but
+  never to v), LayerNorms at torch's default eps 1e-5.
+- :func:`axial_rope` ≙ ``sam2/modeling/position_encoding.py``
+  ``compute_axial_cis``/``apply_rotary_enc``: x (column) frequencies in
+  the first half of the rotary channels, y (row) in the second, adjacent
+  channel pairs treated as complex.
 
 TPU-native notes: the memory bank is a FIXED-SIZE ring buffer
 (``num_maskmem`` slots) carried through a ``lax.scan`` over slices
 (``model.py``) — the reference's python dict of per-frame outputs
-(``models/sam2.py:457-532``) becomes a static tensor with a validity mask,
-so the whole tracking loop is one compiled program.
+(``models/sam2.py:457-532``) becomes a static tensor with a validity
+mask, so the whole tracking loop is one compiled program.
 """
 
 from __future__ import annotations
@@ -25,34 +43,61 @@ from flax import linen as nn
 
 from cryovit_tpu.models.sam2.config import SAM2Config
 
-__all__ = ["MemoryEncoder", "MemoryAttention", "axial_rope"]
+__all__ = [
+    "MemoryEncoder",
+    "MemoryAttention",
+    "axial_rope",
+    "sine_pe_1d",
+]
 
 
-def _rope_freqs(dim: int, end: int, theta: float = 10000.0) -> np.ndarray:
-    freqs = 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2] / dim))
-    t = np.arange(end)
-    return np.outer(t, freqs)  # (end, dim/2)
+def _axial_angles(dim: int, grid: tuple[int, int], theta: float = 10000.0) -> np.ndarray:
+    """Rotation angles for 2D axial RoPE over a row-major (h·w) token axis.
 
-
-def axial_rope(x: jnp.ndarray, grid: tuple[int, int]) -> jnp.ndarray:
-    """2D axial rotary embedding over a flattened (h·w) token axis.
-
-    x: ``(B, h·w, H, D)``; the first D/2 channels rotate by row position,
-    the rest by column position (sam2 RoPEAttention's axial scheme).
+    sam2 ``compute_axial_cis``: per-pair frequencies ``theta^(-4k/dim)``
+    (k < dim//4); token t sits at column ``t % w`` (the "x" axis, first
+    dim//4 rotary pairs) and row ``t // w`` ("y", remaining pairs).
+    Returns ``(h·w, dim//2)`` angles for the complex-pair rotation.
     """
+    quarter = dim // 4
+    freqs = 1.0 / (theta ** (np.arange(0, dim, 4)[:quarter] / dim))
     h, w = grid
+    t = np.arange(h * w)
+    tx, ty = t % w, t // w
+    fx = np.outer(tx, freqs)
+    fy = np.outer(ty, freqs)
+    return np.concatenate([fx, fy], axis=-1)  # (h·w, dim/2)
+
+
+def axial_rope(
+    x: jnp.ndarray, grid: tuple[int, int], repeat: int = 1
+) -> jnp.ndarray:
+    """Apply 2D axial rotary embedding (sam2 ``apply_rotary_enc``).
+
+    x: ``(B, N, H, D)`` with ``N == repeat · h · w`` — ``repeat > 1``
+    tiles the grid angles (sam2 ``rope_k_repeat`` for the per-slot
+    spatial memory tokens). Adjacent channel pairs rotate as complex
+    numbers; the first D/4 pairs by column position, the rest by row.
+    """
     b, n, heads, d = x.shape
-    half = d // 2
-    fr = _rope_freqs(half, h)  # rows
-    fc = _rope_freqs(half, w)  # cols
-    rows = np.repeat(np.arange(h), w)
-    cols = np.tile(np.arange(w), h)
-    ang = np.concatenate([fr[rows], fc[cols]], axis=-1)  # (n, d/2)
+    ang = _axial_angles(d, grid)
+    if repeat > 1:
+        ang = np.tile(ang, (repeat, 1))
     cos = jnp.asarray(np.cos(ang), dtype=x.dtype)[None, :, None, :]
     sin = jnp.asarray(np.sin(ang), dtype=x.dtype)[None, :, None, :]
     x1, x2 = x[..., 0::2], x[..., 1::2]
     out = jnp.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
     return out.reshape(b, n, heads, d)
+
+
+def sine_pe_1d(pos: jnp.ndarray, dim: int, temperature: float = 10000.0) -> jnp.ndarray:
+    """1D sine position embedding (sam2 ``get_1d_sine_pe``): ``pos``
+    (...,) → (..., dim), first half sin, second half cos."""
+    pe_dim = dim // 2
+    dim_t = np.arange(pe_dim, dtype=np.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / pe_dim)
+    ang = pos[..., None] / jnp.asarray(dim_t)
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
 
 
 class MemoryEncoder(nn.Module):
@@ -63,20 +108,27 @@ class MemoryEncoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, pix_feat: jnp.ndarray, masks: jnp.ndarray
+        self, pix_feat: jnp.ndarray, masks: jnp.ndarray, skip_sigmoid: bool = False
     ) -> jnp.ndarray:
-        """pix_feat (B, e, e, d); masks (B, S, S, 1) high-res sigmoid-logits
-        → (B, e, e, mem_dim)."""
-        x = nn.sigmoid(masks)
-        # 16× mask downsampler: 4 strided convs with LN+GELU
-        ch = (4, 16, 64, self.cfg.d_model)
+        """pix_feat (B, e, e, d); masks (B, S, S, 1) high-res mask logits
+        (``skip_sigmoid`` when the caller pre-applied sigmoid + the
+        ``sigmoid_scale/bias_for_mem_enc`` affine, sam2
+        ``_encode_new_memory``) → (B, e, e, mem_dim)."""
+        x = masks if skip_sigmoid else nn.sigmoid(masks)
+        # MaskDownSampler: 16× total stride via 4 stride-2 convs whose
+        # channels grow by stride² per layer (1→4→16→64→256), LN+GELU
+        # between, then a final 1×1 projection to d_model — matching
+        # sam2's parameterization exactly (for the published configs
+        # d_model = 256 so the final conv is 256→256)
+        ch = tuple(4 ** (i + 1) for i in range(4))
         for i, c in enumerate(ch):
             x = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         name=f"mask_down{i}")(x)
             x = nn.LayerNorm(epsilon=1e-6, name=f"mask_ln{i}")(x)
             x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.cfg.d_model, (1, 1), name="mask_down_final")(x)
         x = x + nn.Conv(self.cfg.d_model, (1, 1), name="pix_proj")(pix_feat)
-        # fuser: 2 depthwise-conv blocks (CXBlock-style)
+        # Fuser: 2 CXBlocks (depthwise conv + LN + pointwise MLP + scale)
         for i in range(2):
             y = nn.Conv(
                 self.cfg.d_model, (7, 7), padding=[(3, 3), (3, 3)],
@@ -93,64 +145,72 @@ class MemoryEncoder(nn.Module):
 
 
 class _MemAttnLayer(nn.Module):
+    """sam2 ``MemoryAttentionLayer`` (``memory_attention.py``), with the
+    published ``sam2.1_hiera_l`` layer config: ``pos_enc_at_attn=False``,
+    ``pos_enc_at_cross_attn_keys=True``, ``pos_enc_at_cross_attn_queries=
+    False``, ReLU activation, ``dim_feedforward = 8·d_model``, one head.
+    """
+
     d_model: int
     mem_dim: int
     num_heads: int = 1
     grid: tuple[int, int] = (32, 32)
 
     @nn.compact
-    def __call__(self, x, mem_kv, mem_mask):
-        """x (B, n, d); mem_kv (B, m, mem_dim); mem_mask (B, m) bool."""
+    def __call__(self, x, mem, mem_pos, mem_mask, n_rope_k: int):
+        """x (B, n, d); mem/mem_pos (B, M, mem_dim); mem_mask (B, M) bool;
+        the first ``n_rope_k`` memory tokens are spatial (RoPE'd, tiled
+        over grid repeats); the rest are object pointers (no RoPE)."""
         d = self.d_model
         h = self.num_heads
         hd = d // h
+        bsz, n, _ = x.shape
 
-        # self-attention with axial RoPE
-        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        qkv = nn.Dense(3 * d, name="self_qkv")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = axial_rope(q.reshape(*q.shape[:2], h, hd), self.grid)
-        k = axial_rope(k.reshape(*k.shape[:2], h, hd), self.grid)
-        v = v.reshape(*v.shape[:2], h, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * hd**-0.5, k,
-                            preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        sa = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(*x.shape[:2], d)
-        x = x + nn.Dense(d, name="self_proj")(sa)
+        def heads(t):
+            return t.reshape(t.shape[0], t.shape[1], h, -1)
 
-        # cross-attention to the memory bank (kv in mem_dim)
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        q = nn.Dense(d, name="cross_q")(y).reshape(*y.shape[:2], h, hd)
-        kv_dim = self.mem_dim
-        khd = max(kv_dim // h, 1)
-        km = nn.Dense(kv_dim, name="cross_k")(mem_kv).reshape(
-            mem_kv.shape[0], mem_kv.shape[1], h, khd
-        )
-        vm = nn.Dense(kv_dim, name="cross_v")(mem_kv).reshape(
-            mem_kv.shape[0], mem_kv.shape[1], h, khd
-        )
-        # project q into the memory head dim
-        qm = nn.Dense(kv_dim, name="cross_q_down")(q.reshape(*y.shape[:2], d))
-        qm = qm.reshape(*y.shape[:2], h, khd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qm * khd**-0.5, km,
-                            preferred_element_type=jnp.float32)
-        logits = jnp.where(mem_mask[:, None, None, :], logits, -1e30)
-        attn = jax.nn.softmax(logits, axis=-1).astype(vm.dtype)
-        ca = jnp.einsum("bhqk,bkhd->bqhd", attn, vm).reshape(
-            *y.shape[:2], kv_dim
-        )
-        x = x + nn.Dense(d, name="cross_proj")(ca)
+        def attend(q, k, v, mask_cols=None):
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q * (q.shape[-1] ** -0.5), k,
+                preferred_element_type=jnp.float32,
+            )
+            if mask_cols is not None:
+                logits = jnp.where(mask_cols[:, None, None, :], logits, -1e30)
+            attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+            return out.reshape(out.shape[0], out.shape[1], -1)
 
-        # MLP
-        y = nn.LayerNorm(epsilon=1e-6, name="norm3")(x)
+        # self-attention with axial RoPE (pos_enc_at_attn=False: no pos
+        # added; RoPE is applied after projection + head split)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        q = axial_rope(heads(nn.Dense(d, name="self_q")(y)), self.grid)
+        k = axial_rope(heads(nn.Dense(d, name="self_k")(y)), self.grid)
+        v = heads(nn.Dense(d, name="self_v")(y))
+        x = x + nn.Dense(d, name="self_out")(attend(q, k, v))
+
+        # cross-attention to the memory bank: k/v project mem_dim→d_model
+        # (sam2 RoPEAttention kv_in_dim); pos added to k only, never v
+        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        q = axial_rope(heads(nn.Dense(d, name="cross_q")(y)), self.grid)
+        k = heads(nn.Dense(d, name="cross_k")(mem + mem_pos))
+        v = heads(nn.Dense(d, name="cross_v")(mem))
+        # rope_k_repeat over the spatial slots; pointer tokens excluded
+        repeat = n_rope_k // n
+        k_sp = axial_rope(k[:, :n_rope_k], self.grid, repeat=repeat)
+        k = jnp.concatenate([k_sp, k[:, n_rope_k:]], axis=1)
+        x = x + nn.Dense(d, name="cross_out")(attend(q, k, v, mem_mask))
+
+        # MLP (ReLU, dim_feedforward = 8·d in the published config)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
         y = nn.Dense(8 * d, name="mlp_fc1")(y)
-        y = nn.gelu(y, approximate=False)
-        x = x + nn.Dense(d, name="mlp_fc2")(y)
-        return x
+        y = nn.relu(y)
+        return x + nn.Dense(d, name="mlp_fc2")(y)
 
 
 class MemoryAttention(nn.Module):
-    """Condition current-slice features on the memory bank."""
+    """Condition current-slice features on the memory bank
+    (sam2 ``MemoryAttention``: ``pos_enc_at_input`` adds 0.1·curr_pos,
+    final LayerNorm after the layer stack)."""
 
     cfg: SAM2Config = SAM2Config.large()
     dtype: Any = jnp.float32
@@ -158,17 +218,24 @@ class MemoryAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        feats: jnp.ndarray,  # (B, e, e, d) current slice features (+pos added)
+        feats: jnp.ndarray,  # (B, e, e, d) current slice features
+        curr_pos: jnp.ndarray,  # (B or 1, e, e, d) vision pos encoding
         mem_tokens: jnp.ndarray,  # (B, M, mem_dim) flattened memory bank
+        mem_pos: jnp.ndarray,  # (B, M, mem_dim) memory pos embeddings
         mem_mask: jnp.ndarray,  # (B, M) validity
+        n_rope_k: int | None = None,  # spatial (RoPE'd) token count
     ) -> jnp.ndarray:
         cfg = self.cfg
         b, e, _, d = feats.shape
-        x = feats.reshape(b, e * e, d)
+        x = feats.reshape(b, e * e, d) + 0.1 * curr_pos.reshape(
+            curr_pos.shape[0], e * e, d
+        )
+        if n_rope_k is None:
+            n_rope_k = mem_tokens.shape[1]
         for i in range(cfg.memory_attention_layers):
             x = _MemAttnLayer(
                 d_model=d, mem_dim=cfg.mem_dim, num_heads=1, grid=(e, e),
                 name=f"layer{i}",
-            )(x, mem_tokens, mem_mask)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm_out")(x)
+            )(x, mem_tokens, mem_pos, mem_mask, n_rope_k)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm_out")(x)
         return x.reshape(b, e, e, d)

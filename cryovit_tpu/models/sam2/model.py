@@ -92,12 +92,22 @@ class SAM2Model(nn.Module):
         self.no_mem_embed = self.param(
             "no_mem_embed", nn.initializers.normal(0.02), (1, 1, cfg.d_model)
         )
+        # sam2's dummy-token fallback pos enc; unused by the
+        # directly_add_no_mem_embed path (the sam2.1 config) but kept so
+        # checkpoints map completely
+        self.no_mem_pos_enc = self.param(
+            "no_mem_pos_enc", nn.initializers.normal(0.02), (1, 1, cfg.d_model)
+        )
         self.maskmem_tpos_enc = self.param(
             "maskmem_tpos_enc",
             nn.initializers.normal(0.02),
             (cfg.num_maskmem, cfg.mem_dim),
         )
         self.obj_ptr_proj = nn.Dense(cfg.d_model, name="obj_ptr_proj")
+        if cfg.add_tpos_enc_to_obj_ptrs:
+            # sam2.1: temporal sine PE (dim d_model) projected to mem_dim
+            # and added to object-pointer tokens' pos embeddings
+            self.obj_ptr_tpos_proj = nn.Dense(cfg.mem_dim, name="obj_ptr_tpos_proj")
         self.no_obj_ptr = self.param(
             "no_obj_ptr", nn.initializers.normal(0.02), (cfg.d_model,)
         )
@@ -110,12 +120,29 @@ class SAM2Model(nn.Module):
         x = jnp.repeat(slices[..., None], 3, axis=-1)
         return self.image_encoder(x)
 
-    def _memory_tokens(self, bank: MemoryBank) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """Flatten the ring buffer into (B, M, mem_dim) tokens + mask,
-        adding per-slot temporal position embeddings by recency."""
+    def _memory_tokens(
+        self, bank: MemoryBank
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+        """Flatten the ring buffer into (B, M, mem_dim) tokens, their pos
+        embeddings, and a validity mask; returns the spatial (RoPE'd)
+        token count as well.
+
+        Following sam2 ``_prepare_memory_conditioned_features``: position
+        embeddings (the memory grid's sine PE + the per-recency
+        ``maskmem_tpos_enc``) ride on a SEPARATE pos stream that the
+        memory attention adds to k only — the memory *values* stay
+        pos-free. Object-pointer tokens carry a projected temporal sine
+        PE (sam2.1 ``add_tpos_enc_to_obj_ptrs``) with slot recency
+        standing in for frame distance (the ring buffer does not track
+        absolute slice indices — a documented redesign, see MemoryBank).
+        """
+        from cryovit_tpu.models.sam2.encoder import sine_position_encoding
+        from cryovit_tpu.models.sam2.memory import sine_pe_1d
+
         cfg = self.cfg
         b, m, e2, md = bank.spatial.shape
         mc = cfg.max_cond_slices
+        e = cfg.embed_size
         # recency of each slot: cond slots get the "conditioning" tpos
         # index (num_maskmem-1); rolling slots ordered by distance from
         # write_idx
@@ -126,17 +153,40 @@ class SAM2Model(nn.Module):
             jnp.mod(bank.write_idx - 1 - (slot_ids - mc + 1), cfg.num_maskmem - 1),
         )
         tpos = self.maskmem_tpos_enc[recency]  # (m, mem_dim)
-        spatial = bank.spatial + tpos[None, :, None, :]
-        spatial = spatial.reshape(b, m * e2, md)
+        grid_pe = jnp.asarray(
+            sine_position_encoding(e, e, md), dtype=bank.spatial.dtype
+        ).reshape(1, e2, md)
+        spatial_pos = (grid_pe[None] + tpos[:, None, :][None]).reshape(
+            1, m * e2, md
+        )
+        spatial = bank.spatial.reshape(b, m * e2, md)
+        spatial_pos = jnp.broadcast_to(spatial_pos, spatial.shape)
         spatial_mask = jnp.repeat(bank.spatial_valid, e2, axis=1)
 
         # object pointers: split d_model-dim pointers into mem_dim tokens
         ratio = cfg.d_model // cfg.mem_dim
         ptrs = bank.obj_ptrs.reshape(b, -1, cfg.mem_dim)
         ptr_mask = jnp.repeat(bank.ptr_valid, ratio, axis=1)
+        if cfg.add_tpos_enc_to_obj_ptrs:
+            p = bank.obj_ptrs.shape[1]
+            pdist = jnp.where(
+                jnp.arange(p) < mc,
+                0,
+                1 + jnp.mod(bank.write_idx - 1 - (jnp.arange(p) - mc + 1),
+                            cfg.max_obj_ptrs - mc),
+            )
+            tdiff_max = max(cfg.max_obj_ptrs - 1, 1)
+            ptr_pe = self.obj_ptr_tpos_proj(
+                sine_pe_1d(pdist / tdiff_max, cfg.d_model)
+            )  # (P, mem_dim)
+            ptr_pos = jnp.repeat(ptr_pe, ratio, axis=0)[None]
+            ptr_pos = jnp.broadcast_to(ptr_pos.astype(ptrs.dtype), ptrs.shape)
+        else:
+            ptr_pos = jnp.zeros_like(ptrs)
         tokens = jnp.concatenate([spatial, ptrs], axis=1)
+        pos = jnp.concatenate([spatial_pos, ptr_pos], axis=1)
         mask = jnp.concatenate([spatial_mask, ptr_mask], axis=1)
-        return tokens, mask
+        return tokens, pos, mask, m * e2
 
     def _condition_features(
         self,
@@ -150,11 +200,13 @@ class SAM2Model(nn.Module):
         init cond frames skip memory attention entirely, ``track_step`` →
         ``_prepare_memory_conditioned_features``)."""
         has_memory = jnp.logical_and(jnp.any(bank.spatial_valid), use_memory)
-        tokens, mask = self._memory_tokens(bank)
+        tokens, mem_pos, mask, n_rope_k = self._memory_tokens(bank)
         # branch-free: with an all-masked bank the cross-attention reads
         # zeros, so the with-memory path is computed unconditionally and the
         # no-mem slices select the learned embedding instead
-        conditioned = self.memory_attention(feats + pos, tokens, mask)
+        conditioned = self.memory_attention(
+            feats, pos, tokens, mem_pos, mask, n_rope_k
+        )
         no_mem = feats + self.no_mem_embed.reshape(1, 1, 1, -1)
         return jnp.where(has_memory, conditioned, no_mem)
 
@@ -236,7 +288,13 @@ class SAM2Model(nn.Module):
         cfg = self.cfg
         mc = cfg.max_cond_slices
         b = pix_feat.shape[0]
-        mem = self.memory_encoder(pix_feat, high_res_mask)
+        # sam2 _encode_new_memory: sigmoid then the sam2.1 affine
+        # (scale 20, bias −10) before the mask downsampler
+        mask_for_mem = (
+            nn.sigmoid(high_res_mask) * cfg.sigmoid_scale_for_mem_enc
+            + cfg.sigmoid_bias_for_mem_enc
+        )
+        mem = self.memory_encoder(pix_feat, mask_for_mem, skip_sigmoid=True)
         mem = mem.reshape(b, -1, cfg.mem_dim)
         is_cond = jnp.asarray(is_cond)
         cond_slot = jnp.minimum(bank.cond_count, mc - 1)
@@ -270,7 +328,9 @@ class SAM2Model(nn.Module):
         low_res, high_res, obj_ptr = self._sam_heads(
             pix, box, prompt[..., None], (s0i, s1i), is_cond
         )
-        bank = self._write_memory(bank, pix, high_res, obj_ptr, is_cond)
+        # sam2 encodes the RAW backbone features into memory, not the
+        # memory-conditioned ones (_encode_new_memory(current_vision_feats))
+        bank = self._write_memory(bank, feat2, high_res, obj_ptr, is_cond)
         return bank, low_res
 
     # ---- full tracking pass ---------------------------------------------

@@ -82,12 +82,32 @@ def run_training(
         model = build_model(cfg, cfg.trainer.get("precision"))
 
     trainer = build_trainer(cfg)
-    state = trainer.fit(model, datamodule, variables=variables)
+    state = trainer.fit(
+        model,
+        datamodule,
+        variables=variables,
+        pretrained_variables=(
+            _sam_pretrained(model, cfg) if variables is None else None
+        ),
+    )
 
     out_path = result_dir / f"{model_name}.model"
     save_model(model_name, label_key, model, state.params, cfg.model, out_path)
     logger.info("saved model artifact to %s", out_path)
     return out_path
+
+
+def _sam_pretrained(model, cfg):
+    """Pretrained SAM2/MedSAM weights for the reference's
+    ``create_sam_model_from_weights`` path (``run/train_model.py:242-248``):
+    looked up under ``model_dir/<sam_name>``; None for other families or
+    when no checkpoint is present."""
+    if not hasattr(model, "load_pretrained_variables"):
+        return None
+    sam_dir = Path(str(cfg.paths.model_dir)) / str(
+        cfg.paths.get("sam_name", "SAM2")
+    )
+    return model.load_pretrained_variables(sam_dir)
 
 
 def run_trainer(cfg: DotDict):
@@ -137,6 +157,7 @@ def run_trainer(cfg: DotDict):
         model,
         datamodule,
         ckpt_path=ckpt if cfg.get("resume_ckpt") and ckpt.exists() else None,
+        pretrained_variables=_sam_pretrained(model, cfg),
     )
 
     save_weights(exp_dir / "weights.msgpack", state.params)

@@ -34,6 +34,7 @@ __all__ = [
     "restore_checkpoint",
     "save_weights",
     "load_weights",
+    "merge_variables",
 ]
 
 
@@ -143,6 +144,35 @@ def _load_reference_model(model_path: Path, load_weights_flag: bool):
         )
         model = instantiate(cfg.model)
     return model, variables, model_type, name, label_key
+
+
+def merge_variables(base, partial):
+    """Overlay a PARTIAL variables pytree onto a fully-initialized one.
+
+    Used to load pretrained SAM2 weights (which cover every module except
+    the from-scratch PromptPredictor and the post-load LoRA adapters,
+    reference ``create_sam_model_from_weights``, ``models/sam2.py:802-842``)
+    over ``model.init`` output. Leaves are cast to the base leaf's dtype
+    (bf16 policies) and must match its shape.
+    """
+    def rec(b, p, path):
+        if isinstance(p, dict):
+            if not isinstance(b, dict):
+                raise KeyError(f"pretrained subtree at {path} not in model")
+            out = dict(b)
+            for k, v in p.items():
+                if k not in b:
+                    raise KeyError(f"pretrained param {path}/{k} not in model")
+                out[k] = rec(b[k], v, f"{path}/{k}")
+            return out
+        leaf = jax.numpy.asarray(p)
+        if tuple(leaf.shape) != tuple(b.shape):
+            raise ValueError(
+                f"pretrained param {path} shape {leaf.shape} != model {b.shape}"
+            )
+        return leaf.astype(b.dtype)
+
+    return rec(base, partial, "")
 
 
 # ---- raw weights (state-dict equivalent) ---------------------------------

@@ -190,6 +190,7 @@ class Trainer:
         datamodule,
         variables=None,
         ckpt_path: str | Path | None = None,
+        pretrained_variables=None,
     ) -> TrainState:
         key = seed_everything(self.seed)
         train_loader = datamodule.train_loader()
@@ -201,6 +202,13 @@ class Trainer:
         first_batch, _ = next(iter(train_loader))
         if variables is None:
             variables = model.init(key, jnp.asarray(first_batch.data[:1]))
+            if pretrained_variables is not None:
+                # partial overlay (e.g. converted SAM2 checkpoint: every
+                # module except the from-scratch PromptPredictor + LoRA)
+                from cryovit_tpu.train.checkpoint import merge_variables
+
+                variables = merge_variables(variables, pretrained_variables)
+                logger.info("merged pretrained weights over initialization")
         if self.enable_model_summary:
             logger.info(
                 "model %s: %.2fM params", model.name, model.param_count(variables) / 1e6

@@ -233,7 +233,15 @@ def test_tracking_scan_matches_python_oracle(rng):
         boxes = boxes.reshape(b, d_, 4)
         prompts = prompts.reshape(b, d_, s_, s_)
 
+        from cryovit_tpu.models.sam2.encoder import sine_position_encoding
+        from cryovit_tpu.models.sam2.memory import sine_pe_1d
+
         mc = cfg.max_cond_slices
+        e = cfg.embed_size
+        grid_pe = jnp.asarray(
+            sine_position_encoding(e, e, cfg.mem_dim), dtype=jnp.float32
+        ).reshape(1, e * e, cfg.mem_dim)
+        ratio = cfg.d_model // cfg.mem_dim
         cond_mems, roll_mems, cond_ptrs, roll_ptrs = [], [], [], []
         outs = {}
         for step, i in enumerate(order):
@@ -242,23 +250,54 @@ def test_tracking_scan_matches_python_oracle(rng):
             if is_cond or not (cond_mems or roll_mems):
                 pix = feat2 + mdl.no_mem_embed.reshape(1, 1, 1, -1)
             else:
-                toks = [
-                    m + mdl.maskmem_tpos_enc[cfg.num_maskmem - 1][None, None, :]
-                    for m in cond_mems
-                ]
+                toks, poss = [], []
+                for m in cond_mems:
+                    toks.append(m)
+                    poss.append(
+                        grid_pe
+                        + mdl.maskmem_tpos_enc[cfg.num_maskmem - 1][None, None, :]
+                    )
                 recent = roll_mems[-(cfg.num_maskmem - 1):]
                 for j, m in enumerate(reversed(recent)):
-                    toks.append(m + mdl.maskmem_tpos_enc[j][None, None, :])
+                    toks.append(m)
+                    poss.append(grid_pe + mdl.maskmem_tpos_enc[j][None, None, :])
+                n_rope_k = len(toks) * e * e
+                # object pointers: cond dist 0, rolling most-recent dist 1
                 ptrs = cond_ptrs + roll_ptrs[-(cfg.max_obj_ptrs - mc):]
+                dists = [0.0] * len(cond_ptrs) + [
+                    float(len(roll_ptrs[-(cfg.max_obj_ptrs - mc):]) - j)
+                    for j in range(len(roll_ptrs[-(cfg.max_obj_ptrs - mc):]))
+                ]
                 ptr_tok = jnp.stack(ptrs, axis=1).reshape(b, -1, cfg.mem_dim)
+                pe = mdl.obj_ptr_tpos_proj(
+                    sine_pe_1d(
+                        jnp.asarray(dists) / max(cfg.max_obj_ptrs - 1, 1),
+                        cfg.d_model,
+                    )
+                )
+                ptr_pos = jnp.repeat(pe, ratio, axis=0)[None]
+                ptr_pos = jnp.broadcast_to(ptr_pos, ptr_tok.shape)
                 tokens = jnp.concatenate(toks + [ptr_tok], axis=1)
+                pos_toks = jnp.concatenate(
+                    [jnp.broadcast_to(p, t.shape) for p, t in zip(poss, toks)]
+                    + [ptr_pos],
+                    axis=1,
+                )
                 mask = jnp.ones(tokens.shape[:2], dtype=bool)
-                pix = mdl.memory_attention(feat2 + p2, tokens, mask)
+                pix = mdl.memory_attention(
+                    feat2, p2, tokens, pos_toks, mask, n_rope_k
+                )
             low, high, optr = mdl._sam_heads(
                 pix, boxes[:, i], prompts[:, i][..., None],
                 (s0[:, i], s1[:, i]), is_cond,
             )
-            mem = mdl.memory_encoder(pix, high).reshape(b, -1, cfg.mem_dim)
+            mask_for_mem = (
+                jax.nn.sigmoid(high) * cfg.sigmoid_scale_for_mem_enc
+                + cfg.sigmoid_bias_for_mem_enc
+            )
+            mem = mdl.memory_encoder(
+                feat2, mask_for_mem, skip_sigmoid=True
+            ).reshape(b, -1, cfg.mem_dim)
             (cond_mems if is_cond else roll_mems).append(mem)
             (cond_ptrs if is_cond else roll_ptrs).append(optr)
             outs[i] = low

@@ -235,60 +235,101 @@ def test_hiera_torch_parity(rng):
 
 
 # ======================= Memory encoder =====================================
+# Torch clones mirroring sam2/modeling/memory_encoder.py (LayerNorm2d from
+# sam2/modeling/sam2_utils.py), with sam2's own attribute names so their
+# state dicts carry the PUBLISHED tensor naming — the mapping under test is
+# cryovit_tpu.models.sam2.convert, not a hand-written test map.
+
+class _TLayerNorm2d(nn.Module):
+    """sam2/modeling/sam2_utils.py:LayerNorm2d (channels-first LN)."""
+
+    def __init__(self, num_channels, eps=1e-6):
+        super().__init__()
+        self.weight = nn.Parameter(torch.ones(num_channels))
+        self.bias = nn.Parameter(torch.zeros(num_channels))
+        self.eps = eps
+
+    def forward(self, x):
+        u = x.mean(1, keepdim=True)
+        s = (x - u).pow(2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + self.eps)
+        return self.weight[:, None, None] * x + self.bias[:, None, None]
+
+
+class _TMaskDownSampler(nn.Module):
+    """sam2/modeling/memory_encoder.py:MaskDownSampler — stride-2 convs
+    growing channels by stride² (1→4→16→64→256) with LayerNorm2d + GELU,
+    then a final 1×1 conv to embed_dim."""
+
+    def __init__(self, embed_dim):
+        super().__init__()
+        layers, cin = [], 1
+        for _ in range(4):
+            cout = cin * 4
+            layers += [nn.Conv2d(cin, cout, 3, 2, 1), _TLayerNorm2d(cout), nn.GELU()]
+            cin = cout
+        layers.append(nn.Conv2d(cin, embed_dim, 1))
+        self.encoder = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.encoder(x)
+
+
+class _TCXBlock(nn.Module):
+    """sam2/modeling/memory_encoder.py:CXBlock (ConvNeXt block)."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.dwconv = nn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+        self.norm = _TLayerNorm2d(dim, eps=1e-6)
+        self.pwconv1 = nn.Linear(dim, 4 * dim)
+        self.pwconv2 = nn.Linear(4 * dim, dim)
+        self.gamma = nn.Parameter(1e-6 * torch.ones(dim))
+
+    def forward(self, x):
+        inp = x
+        x = self.dwconv(x)
+        x = self.norm(x)
+        x = x.permute(0, 2, 3, 1)
+        x = self.pwconv2(F.gelu(self.pwconv1(x)))
+        x = self.gamma * x
+        return inp + x.permute(0, 3, 1, 2)
+
 
 class _TMemoryEncoder(nn.Module):
+    """sam2/modeling/memory_encoder.py:MemoryEncoder."""
+
     def __init__(self, cfg: SAM2Config):
         super().__init__()
         d = cfg.d_model
-        chans = (4, 16, 64, d)
-        self.downs = nn.ModuleList()
-        self.lns = nn.ModuleList()
-        cin = 1
-        for c in chans:
-            self.downs.append(nn.Conv2d(cin, c, 3, 2, 1))
-            self.lns.append(nn.LayerNorm(c, eps=1e-6))
-            cin = c
-        self.pix_proj = nn.Conv2d(d, d, 1)
-        self.fuser_dw = nn.ModuleList([nn.Conv2d(d, d, 7, 1, 3, groups=d) for _ in range(2)])
-        self.fuser_ln = nn.ModuleList([nn.LayerNorm(d, eps=1e-6) for _ in range(2)])
-        self.fuser_fc1 = nn.ModuleList([nn.Linear(d, 4 * d) for _ in range(2)])
-        self.fuser_fc2 = nn.ModuleList([nn.Linear(4 * d, d) for _ in range(2)])
-        self.fuser_gamma = nn.ParameterList(
-            [nn.Parameter(torch.full((d,), 1e-6)) for _ in range(2)]
-        )
+        self.mask_downsampler = _TMaskDownSampler(d)
+        self.pix_feat_proj = nn.Conv2d(d, d, 1)
+        self.fuser = nn.Module()
+        self.fuser.layers = nn.ModuleList([_TCXBlock(d) for _ in range(2)])
         self.out_proj = nn.Conv2d(d, cfg.mem_dim, 1)
 
-    def forward(self, pix, masks):  # pix (B,d,e,e); masks (B,1,S,S)
-        x = torch.sigmoid(masks)
-        for conv, ln in zip(self.downs, self.lns):
-            x = conv(x)
-            x = ln(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
-            x = F.gelu(x)
-        x = x + self.pix_proj(pix)
-        for i in range(2):
-            y = self.fuser_dw[i](x).permute(0, 2, 3, 1)
-            y = self.fuser_ln[i](y)
-            y = self.fuser_fc2[i](F.gelu(self.fuser_fc1[i](y)))
-            x = x + (y * self.fuser_gamma[i]).permute(0, 3, 1, 2)
+    def forward(self, pix_feat, masks, skip_mask_sigmoid=False):
+        if not skip_mask_sigmoid:
+            masks = torch.sigmoid(masks)
+        masks = self.mask_downsampler(masks)
+        x = self.pix_feat_proj(pix_feat)
+        x = x + masks
+        for layer in self.fuser.layers:
+            x = layer(x)
         return self.out_proj(x)
 
 
-def _map_memory_encoder(tm: _TMemoryEncoder) -> dict:
-    sd = tm.state_dict()
-    params = {"pix_proj": _conv2d(sd, "pix_proj"), "out_proj": _conv2d(sd, "out_proj")}
-    for i in range(4):
-        params[f"mask_down{i}"] = _conv2d(sd, f"downs.{i}")
-        params[f"mask_ln{i}"] = _ln(sd, f"lns.{i}")
-    for i in range(2):
-        params[f"fuser_dw{i}"] = _dwconv2d(sd, f"fuser_dw.{i}")
-        params[f"fuser_ln{i}"] = _ln(sd, f"fuser_ln.{i}")
-        params[f"fuser_fc1_{i}"] = _lin(sd, f"fuser_fc1.{i}")
-        params[f"fuser_fc2_{i}"] = _lin(sd, f"fuser_fc2.{i}")
-        params[f"fuser_gamma{i}"] = sd[f"fuser_gamma.{i}"].numpy()
-    return {"params": params}
+def _numpy_sd(module: nn.Module, prefix: str) -> dict:
+    return {
+        f"{prefix}.{k}": v.detach().numpy() for k, v in module.state_dict().items()
+    }
 
 
 def test_memory_encoder_torch_parity(rng):
+    """Published-named memory_encoder.* state dict → convert.py → flax
+    forward parity with the sam2-clone forward."""
+    from cryovit_tpu.models.sam2.convert import convert_memory_encoder_state_dict
+
     cfg = SAM2Config.tiny_test()
     torch.manual_seed(1)
     tm = _TMemoryEncoder(cfg).eval()
@@ -296,7 +337,7 @@ def test_memory_encoder_torch_parity(rng):
         for p in tm.parameters():
             p.uniform_(-0.1, 0.1)
     fm = MemoryEncoder(cfg)
-    variables = _map_memory_encoder(tm)
+    variables = convert_memory_encoder_state_dict(_numpy_sd(tm, "memory_encoder"))
 
     e = cfg.embed_size
     pix = rng.random((2, e, e, cfg.d_model)).astype(np.float32)
@@ -313,108 +354,182 @@ def test_memory_encoder_torch_parity(rng):
 
 
 # ======================= Memory attention ====================================
+# Clones of sam2/modeling/sam/transformer.py:RoPEAttention and
+# sam2/modeling/memory_attention.py:{MemoryAttentionLayer, MemoryAttention},
+# including an independent port of sam2/modeling/position_encoding.py's
+# compute_axial_cis / apply_rotary_enc (torch complex arithmetic) so the
+# flax axial_rope is checked against sam2's math, not against itself.
+
+def _t_compute_axial_cis(dim, end_x, end_y, theta=10000.0):
+    """sam2/modeling/position_encoding.py:compute_axial_cis."""
+    freqs = 1.0 / (theta ** (torch.arange(0, dim, 4)[: dim // 4].float() / dim))
+    t = torch.arange(end_x * end_y)
+    t_x = (t % end_x).float()
+    t_y = torch.div(t, end_x, rounding_mode="floor").float()
+    fx = torch.outer(t_x, freqs)
+    fy = torch.outer(t_y, freqs)
+    ang = torch.cat([fx, fy], dim=-1)
+    return torch.polar(torch.ones_like(ang), ang)  # (N, dim/2) complex
+
+
+def _t_apply_rotary_enc(xq, xk, freqs_cis, repeat_freqs_k=False):
+    """sam2/modeling/position_encoding.py:apply_rotary_enc.
+    xq/xk: (B, H, N, D) real → rotated, adjacent channel pairs complex."""
+    xq_ = torch.view_as_complex(xq.float().reshape(*xq.shape[:-1], -1, 2))
+    xk_ = torch.view_as_complex(xk.float().reshape(*xk.shape[:-1], -1, 2))
+    fc = freqs_cis.reshape(1, 1, *freqs_cis.shape)
+    xq_out = torch.view_as_real(xq_ * fc).flatten(3)
+    if repeat_freqs_k:
+        r = xk_.shape[-2] // xq_.shape[-2]
+        fc = fc.repeat(1, 1, r, 1)
+    xk_out = torch.view_as_real(xk_ * fc).flatten(3)
+    return xq_out.type_as(xq), xk_out.type_as(xk)
+
+
+class _TRoPEAttention(nn.Module):
+    """sam2/modeling/sam/transformer.py:RoPEAttention (separate q/k/v/out
+    projections; RoPE applied after head split; optional kv_in_dim and
+    rope_k_repeat; obj-pointer tokens excluded via num_k_exclude_rope).
+    ``attn_mask`` is a test-side extension for the ring buffer's validity
+    mask — with an all-true mask this is exactly sam2's module."""
+
+    def __init__(self, embedding_dim, num_heads=1, kv_in_dim=None,
+                 rope_k_repeat=False, feat_sizes=(8, 8)):
+        super().__init__()
+        kv_in = kv_in_dim if kv_in_dim is not None else embedding_dim
+        self.num_heads = num_heads
+        self.rope_k_repeat = rope_k_repeat
+        self.q_proj = nn.Linear(embedding_dim, embedding_dim)
+        self.k_proj = nn.Linear(kv_in, embedding_dim)
+        self.v_proj = nn.Linear(kv_in, embedding_dim)
+        self.out_proj = nn.Linear(embedding_dim, embedding_dim)
+        self.freqs_cis = _t_compute_axial_cis(
+            embedding_dim // num_heads, *feat_sizes
+        )
+
+    def forward(self, q, k, v, num_k_exclude_rope=0, attn_mask=None):
+        q, k, v = self.q_proj(q), self.k_proj(k), self.v_proj(v)
+        b, nq = q.shape[:2]
+        h = self.num_heads
+
+        def sep(x):
+            return x.reshape(b, x.shape[1], h, -1).transpose(1, 2)
+
+        q, k, v = sep(q), sep(k), sep(v)
+        num_k_rope = k.size(-2) - num_k_exclude_rope
+        q, k_rope = _t_apply_rotary_enc(
+            q, k[:, :, :num_k_rope], self.freqs_cis,
+            repeat_freqs_k=self.rope_k_repeat,
+        )
+        k = torch.cat([k_rope, k[:, :, num_k_rope:]], dim=2)
+        attn = (q * q.shape[-1] ** -0.5) @ k.transpose(-2, -1)
+        if attn_mask is not None:
+            attn = attn.masked_fill(~attn_mask[:, None, None, :], -1e30)
+        out = (attn.softmax(-1) @ v).transpose(1, 2).reshape(b, nq, -1)
+        return self.out_proj(out)
+
 
 class _TMemAttnLayer(nn.Module):
+    """sam2/modeling/memory_attention.py:MemoryAttentionLayer with the
+    published sam2.1_hiera_l layer config (pos_enc_at_attn=False,
+    pos_enc_at_cross_attn_keys=True, pos_enc_at_cross_attn_queries=False,
+    ReLU activation, kv_in_dim=mem_dim)."""
+
     def __init__(self, d, mem_dim, grid):
         super().__init__()
-        self.d, self.mem_dim, self.grid = d, mem_dim, grid
-        self.norm1 = nn.LayerNorm(d, eps=1e-6)
-        self.self_qkv = nn.Linear(d, 3 * d)
-        self.self_proj = nn.Linear(d, d)
-        self.norm2 = nn.LayerNorm(d, eps=1e-6)
-        self.cross_q = nn.Linear(d, d)
-        self.cross_q_down = nn.Linear(d, mem_dim)
-        self.cross_k = nn.Linear(mem_dim, mem_dim)
-        self.cross_v = nn.Linear(mem_dim, mem_dim)
-        self.cross_proj = nn.Linear(mem_dim, d)
-        self.norm3 = nn.LayerNorm(d, eps=1e-6)
-        self.mlp_fc1 = nn.Linear(d, 8 * d)
-        self.mlp_fc2 = nn.Linear(8 * d, d)
+        self.self_attn = _TRoPEAttention(d, 1, feat_sizes=grid)
+        self.cross_attn_image = _TRoPEAttention(
+            d, 1, kv_in_dim=mem_dim, rope_k_repeat=True, feat_sizes=grid
+        )
+        self.linear1 = nn.Linear(d, 8 * d)
+        self.linear2 = nn.Linear(8 * d, d)
+        self.norm1 = nn.LayerNorm(d)
+        self.norm2 = nn.LayerNorm(d)
+        self.norm3 = nn.LayerNorm(d)
 
-    def _rope(self, x):
-        from cryovit_tpu.models.sam2.memory import axial_rope
-
-        out = axial_rope(jnp.asarray(x.detach().numpy()), self.grid)
-        return torch.from_numpy(np.asarray(out))
-
-    def forward(self, x, mem, mask):
-        y = self.norm1(x)
-        q, k, v = self.self_qkv(y).chunk(3, dim=-1)
-        q = self._rope(q.unsqueeze(2))[:, :, 0]
-        k = self._rope(k.unsqueeze(2))[:, :, 0]
-        d = self.d
-        attn = (q * d**-0.5) @ k.transpose(-2, -1)
-        x = x + self.self_proj(attn.softmax(-1) @ v)
-
-        y = self.norm2(x)
-        q = self.cross_q(y)
-        qm = self.cross_q_down(q)
-        km, vm = self.cross_k(mem), self.cross_v(mem)
-        logits = (qm * self.mem_dim**-0.5) @ km.transpose(-2, -1)
-        logits = logits.masked_fill(~mask[:, None, :], -1e30)
-        x = x + self.cross_proj(logits.softmax(-1) @ vm)
-
-        y = self.norm3(x)
-        return x + self.mlp_fc2(F.gelu(self.mlp_fc1(y)))
+    def forward(self, tgt, memory, pos, num_k_exclude_rope=0, mask=None):
+        tgt2 = self.norm1(tgt)
+        tgt = tgt + self.self_attn(tgt2, tgt2, tgt2)
+        tgt2 = self.norm2(tgt)
+        tgt = tgt + self.cross_attn_image(
+            tgt2, memory + pos, memory,
+            num_k_exclude_rope=num_k_exclude_rope, attn_mask=mask,
+        )
+        tgt2 = self.norm3(tgt)
+        return tgt + self.linear2(F.relu(self.linear1(tgt2)))
 
 
-def _map_mem_attn(tm, n_layers) -> dict:
-    sd = tm.state_dict()
-    params = {"norm_out": _ln(sd, "norm_out")}
-    for i in range(n_layers):
-        p = f"layers.{i}"
-        params[f"layer{i}"] = {
-            "norm1": _ln(sd, f"{p}.norm1"),
-            "self_qkv": _lin(sd, f"{p}.self_qkv"),
-            "self_proj": _lin(sd, f"{p}.self_proj"),
-            "norm2": _ln(sd, f"{p}.norm2"),
-            "cross_q": _lin(sd, f"{p}.cross_q"),
-            "cross_q_down": _lin(sd, f"{p}.cross_q_down"),
-            "cross_k": _lin(sd, f"{p}.cross_k"),
-            "cross_v": _lin(sd, f"{p}.cross_v"),
-            "cross_proj": _lin(sd, f"{p}.cross_proj"),
-            "norm3": _ln(sd, f"{p}.norm3"),
-            "mlp_fc1": _lin(sd, f"{p}.mlp_fc1"),
-            "mlp_fc2": _lin(sd, f"{p}.mlp_fc2"),
-        }
-    return params
+class _TMemAttn(nn.Module):
+    """sam2/modeling/memory_attention.py:MemoryAttention
+    (pos_enc_at_input=True: curr + 0.1·curr_pos)."""
+
+    def __init__(self, cfg: SAM2Config, grid):
+        super().__init__()
+        d = cfg.d_model
+        self.layers = nn.ModuleList(
+            [
+                _TMemAttnLayer(d, cfg.mem_dim, grid)
+                for _ in range(cfg.memory_attention_layers)
+            ]
+        )
+        self.norm = nn.LayerNorm(d)
+
+    def forward(self, curr, curr_pos, memory, memory_pos, mask, num_obj_ptr_tokens):
+        x = curr + 0.1 * curr_pos
+        for layer in self.layers:
+            x = layer(
+                x, memory, memory_pos,
+                num_k_exclude_rope=num_obj_ptr_tokens, mask=mask,
+            )
+        return self.norm(x)
 
 
 def test_memory_attention_torch_parity(rng):
+    """Published-named memory_attention.* state dict → convert.py → flax
+    forward parity with the sam2-clone stack, including RoPE'd spatial
+    memory slots, excluded object-pointer tokens, and a validity mask."""
+    from cryovit_tpu.models.sam2.convert import convert_memory_attention_state_dict
+
     cfg = SAM2Config.tiny_test()
     e, d = cfg.embed_size, cfg.d_model
 
-    class _TMemAttn(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.layers = nn.ModuleList(
-                [_TMemAttnLayer(d, cfg.mem_dim, (e, e)) for _ in range(cfg.memory_attention_layers)]
-            )
-            self.norm_out = nn.LayerNorm(d, eps=1e-6)
-
-        def forward(self, feats, mem, mask):
-            b = feats.shape[0]
-            x = feats.reshape(b, e * e, d)
-            for layer in self.layers:
-                x = layer(x, mem, mask)
-            return self.norm_out(x).reshape(b, e, e, d)
-
     torch.manual_seed(2)
-    tm = _TMemAttn().eval()
+    tm = _TMemAttn(cfg, (e, e)).eval()
     with torch.no_grad():
         for p in tm.parameters():
             p.uniform_(-0.1, 0.1)
     fm = MemoryAttention(cfg)
-    variables = {"params": _map_mem_attn(tm, cfg.memory_attention_layers)}
+    variables = convert_memory_attention_state_dict(
+        _numpy_sd(tm, "memory_attention"), cfg
+    )
 
+    n_slots, n_ptr = 2, 4
+    n_rope_k = n_slots * e * e
+    m_total = n_rope_k + n_ptr
     feats = rng.random((2, e, e, d)).astype(np.float32)
-    mem = rng.random((2, 10, cfg.mem_dim)).astype(np.float32)
-    mask = np.ones((2, 10), dtype=bool)
-    mask[:, 7:] = False
-    out = fm.apply(variables, jnp.asarray(feats), jnp.asarray(mem), jnp.asarray(mask))
+    pos = rng.random((2, e, e, d)).astype(np.float32)
+    mem = rng.random((2, m_total, cfg.mem_dim)).astype(np.float32)
+    mem_pos = rng.random((2, m_total, cfg.mem_dim)).astype(np.float32)
+    mask = np.ones((2, m_total), dtype=bool)
+    mask[:, e * e : n_rope_k] = False  # an invalid (empty) spatial slot
+    mask[:, -2:] = False  # two empty pointer tokens
+
+    out = fm.apply(
+        variables, jnp.asarray(feats), jnp.asarray(pos), jnp.asarray(mem),
+        jnp.asarray(mem_pos), jnp.asarray(mask), n_rope_k,
+    )
     with torch.no_grad():
-        t_out = tm(torch.from_numpy(feats), torch.from_numpy(mem), torch.from_numpy(mask))
-    np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=2e-5)
+        t_out = tm(
+            torch.from_numpy(feats.reshape(2, e * e, d)),
+            torch.from_numpy(pos.reshape(2, e * e, d)),
+            torch.from_numpy(mem),
+            torch.from_numpy(mem_pos),
+            torch.from_numpy(mask),
+            n_ptr,
+        )
+    np.testing.assert_allclose(
+        np.asarray(out), t_out.numpy().reshape(2, e, e, d), atol=2e-5
+    )
 
 
 # ========================= Mask decoder ======================================
@@ -644,3 +759,216 @@ def test_mask_decoder_torch_parity(rng, rank):
     np.testing.assert_allclose(np.asarray(ious), t_ious.numpy(), atol=5e-5)
     np.testing.assert_allclose(np.asarray(tokens), t_tokens.numpy(), atol=5e-5)
     np.testing.assert_allclose(np.asarray(obj), t_obj.numpy(), atol=5e-5)
+
+
+# =================== Full checkpoint round-trip ==============================
+# Assembles a complete state dict with the PUBLISHED sam2 tensor naming
+# (sam2.1 checkpoint layout: image_encoder.trunk/neck, sam_prompt_encoder,
+# sam_mask_decoder, memory_encoder, memory_attention, and the SAM2Base-level
+# embeddings) from the torch clones above, converts it with
+# convert_sam2_state_dict, and asserts it exactly fills the flax SAM2Model
+# tree — every checkpoint tensor consumed, every model param covered except
+# the deliberately-from-scratch PromptPredictor (the reference trains it
+# fresh, models/sam2.py:63-66) and LoRA adapters (applied AFTER the strict
+# load, reference models/sam2.py:802-842).
+
+def _renamed(sd: dict, renames: list[tuple[str, str]]) -> dict:
+    out = {}
+    for k, v in sd.items():
+        for old, new in renames:
+            if k.startswith(old):
+                k = new + k[len(old):]
+                break
+        out[k] = v
+    return out
+
+
+def _published_full_state_dict(cfg: SAM2Config, rng) -> dict:
+    """Build a sam2.1-checkpoint-shaped state dict for ``cfg``."""
+    torch.manual_seed(11)
+
+    def rand(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    sd: dict[str, np.ndarray] = {}
+
+    # ---- image encoder: Hiera trunk (published: mlp.layers.{0,1},
+    # patch_embed.proj) + FPN neck (convs ordered low-res→high-res)
+    th = _THiera(cfg.hiera)
+    trunk = {k: v.detach().numpy() for k, v in th.state_dict().items()}
+    renames = [("patch_embed.", "patch_embed.proj.")]
+    for i in range(len(th.blocks)):
+        renames += [
+            (f"blocks.{i}.mlp_fc1.", f"blocks.{i}.mlp.layers.0."),
+            (f"blocks.{i}.mlp_fc2.", f"blocks.{i}.mlp.layers.1."),
+        ]
+    trunk = _renamed(trunk, renames)
+    trunk["pos_embed"] = trunk["pos_embed"].transpose(2, 0, 1)[None]
+    trunk["pos_embed_window"] = trunk["pos_embed_window"].transpose(2, 0, 1)[None]
+    sd.update({f"image_encoder.trunk.{k}": v for k, v in trunk.items()})
+    dims = cfg.hiera.stage_dims
+    for i, dim in enumerate(reversed(dims)):  # convs.0 = lowest-res level
+        sd[f"image_encoder.neck.convs.{i}.conv.weight"] = rand(cfg.d_model, dim, 1, 1)
+        sd[f"image_encoder.neck.convs.{i}.conv.bias"] = rand(cfg.d_model)
+
+    # ---- prompt encoder (sam2/modeling/sam/prompt_encoder.py layout)
+    d = cfg.d_model
+    pe = "sam_prompt_encoder"
+    sd[f"{pe}.pe_layer.positional_encoding_gaussian_matrix"] = rand(2, d // 2)
+    for i in range(4):
+        sd[f"{pe}.point_embeddings.{i}.weight"] = rand(1, d)
+    sd[f"{pe}.not_a_point_embed.weight"] = rand(1, d)
+    sd[f"{pe}.no_mask_embed.weight"] = rand(1, d)
+    chans = [(1, 4), (4, 16)]
+    for j, (cin, cout) in enumerate(chans):
+        sd[f"{pe}.mask_downscaling.{3 * j}.weight"] = rand(cout, cin, 2, 2)
+        sd[f"{pe}.mask_downscaling.{3 * j}.bias"] = rand(cout)
+        sd[f"{pe}.mask_downscaling.{3 * j + 1}.weight"] = rand(cout)
+        sd[f"{pe}.mask_downscaling.{3 * j + 1}.bias"] = rand(cout)
+    sd[f"{pe}.mask_downscaling.6.weight"] = rand(d, 16, 1, 1)
+    sd[f"{pe}.mask_downscaling.6.bias"] = rand(d)
+
+    # ---- mask decoder (published transformer/upscaling naming)
+    td = _TMaskDecoder(cfg, rank=0, alpha=1.0)
+    dec = {k: v.detach().numpy() for k, v in td.state_dict().items()}
+    renames = [
+        ("final_attn.", "transformer.final_attn_token_to_image."),
+        ("norm_final.", "transformer.norm_final_attn."),
+        ("upscale1.", "output_upscaling.0."),
+        ("upscale_ln.", "output_upscaling.1."),
+        ("upscale2.", "output_upscaling.3."),
+        ("hypers.", "output_hypernetworks_mlps."),
+        ("iou_head.", "iou_prediction_head."),
+        ("obj_head.", "pred_obj_score_head."),
+    ]
+    for i in range(cfg.decoder_depth):
+        renames += [
+            (f"layers.{i}.cross_t2i.", f"transformer.layers.{i}.cross_attn_token_to_image."),
+            (f"layers.{i}.cross_i2t.", f"transformer.layers.{i}.cross_attn_image_to_token."),
+            (f"layers.{i}.mlp1.", f"transformer.layers.{i}.mlp.layers.0."),
+            (f"layers.{i}.mlp2.", f"transformer.layers.{i}.mlp.layers.1."),
+            (f"layers.{i}.", f"transformer.layers.{i}."),
+        ]
+    dec = _renamed(dec, renames)
+    # rank-0 LoRALinear wraps the base projection under .proj; published
+    # checkpoints store plain q_proj/v_proj Linears
+    dec = {k.replace(".q_proj.proj.", ".q_proj.").replace(".v_proj.proj.", ".v_proj."): v
+           for k, v in dec.items()}
+    # token embeddings are nn.Embedding in sam2 (.weight)
+    for tok, pub in [("iou_token", "iou_token"), ("mask_tokens", "mask_tokens"),
+                     ("obj_token", "obj_score_token")]:
+        dec[f"{pub}.weight"] = dec.pop(tok)
+    sd.update({f"sam_mask_decoder.{k}": v for k, v in dec.items()})
+
+    # ---- memory modules (published naming straight from the clones)
+    tme = _TMemoryEncoder(cfg)
+    sd.update(_numpy_sd(tme, "memory_encoder"))
+    tma = _TMemAttn(cfg, (cfg.embed_size, cfg.embed_size))
+    sd.update(_numpy_sd(tma, "memory_attention"))
+
+    # ---- SAM2Base-level embeddings
+    sd["no_mem_embed"] = rand(1, 1, d)
+    sd["no_mem_pos_enc"] = rand(1, 1, d)
+    sd["maskmem_tpos_enc"] = rand(cfg.num_maskmem, 1, 1, cfg.mem_dim)
+    sd["obj_ptr_proj.weight"] = rand(d, d)
+    sd["obj_ptr_proj.bias"] = rand(d)
+    sd["obj_ptr_tpos_proj.weight"] = rand(cfg.mem_dim, d)
+    sd["obj_ptr_tpos_proj.bias"] = rand(cfg.mem_dim)
+    sd["no_obj_ptr"] = rand(1, d)
+    return sd
+
+
+def test_converter_full_checkpoint_roundtrip(rng, caplog):
+    """A complete published-naming state dict converts with every tensor
+    consumed and exactly fills the SAM2Model param tree (minus the
+    from-scratch PromptPredictor and post-load LoRA adapters)."""
+    import logging
+
+    from cryovit_tpu.models.sam2.convert import convert_sam2_state_dict
+    from cryovit_tpu.models.sam2.model import SAM2Model
+
+    cfg = SAM2Config.tiny_test()
+    sd = _published_full_state_dict(cfg, rng)
+
+    with caplog.at_level(logging.WARNING):
+        converted = convert_sam2_state_dict(sd, cfg)
+    assert not [r for r in caplog.records if "unconsumed" in r.message], (
+        "converter left checkpoint tensors unconsumed"
+    )
+
+    model = SAM2Model(cfg=cfg, lora_rank=0, lora_alpha=1.0)
+    s = cfg.image_size
+    expected = jax.eval_shape(
+        model.init, jax.random.key(0),
+        jnp.zeros((1, 2, s, s), dtype=jnp.float32),
+    )
+
+    def paths(tree):
+        return {
+            jax.tree_util.keystr(p): v.shape
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    # the converter emits the family wrapper's {"params": {"sam": ...}}
+    # scoping; a bare SAM2Model's tree sits directly under "params"
+    got = paths(converted["params"]["sam"])
+    want = paths(expected["params"])
+
+    missing = {p for p in want if p not in got}
+    extra = {p for p in got if p not in want}
+    assert not extra, f"converted params absent from the model tree: {sorted(extra)[:8]}"
+    # the only uncovered params must be the from-scratch prompt predictor
+    assert missing and all("prompt_predictor" in p for p in missing), sorted(missing)[:8]
+
+    mismatched = {
+        p: (got[p], want[p]) for p in got if tuple(got[p]) != tuple(want[p])
+    }
+    assert not mismatched, f"shape mismatches: {dict(list(mismatched.items())[:5])}"
+
+
+def test_pretrained_sam2_weights_merge(tmp_path, rng):
+    """The reference's create_sam_model_from_weights path: a converted
+    checkpoint in model_dir/SAM2 merges over model.init — pretrained
+    modules take the checkpoint values, PromptPredictor/LoRA stay fresh."""
+    from flax.serialization import to_bytes
+
+    from cryovit_tpu.models.losses import DiceLoss
+    from cryovit_tpu.models.metrics import DiceMetric
+    from cryovit_tpu.models.sam2.convert import convert_sam2_state_dict
+    from cryovit_tpu.models.sam2.family import SAM2
+    from cryovit_tpu.train.checkpoint import merge_variables
+
+    cfg = SAM2Config.tiny_test()
+    sd = _published_full_state_dict(cfg, rng)
+    converted = convert_sam2_state_dict(sd, cfg)
+    sam_dir = tmp_path / "SAM2"
+    sam_dir.mkdir()
+    (sam_dir / "sam2_weights.msgpack").write_bytes(to_bytes(converted))
+
+    sam = SAM2(
+        name="SAM2", input_key="data", lr=5e-5, weight_decay=1e-3,
+        losses={"dice_loss": DiceLoss()},
+        metrics={"dice_metric": DiceMetric(0.5)},
+        custom_kwargs={"test_config": True},
+    )
+    pretrained = sam.load_pretrained_variables(sam_dir)
+    assert pretrained is not None
+
+    s = cfg.image_size
+    init = sam.init(
+        jax.random.key(0), jnp.zeros((1, 2, s, s, 1), dtype=jnp.float32)
+    )
+    merged = merge_variables(init, pretrained)
+
+    got = np.asarray(
+        merged["params"]["sam"]["image_encoder"]["trunk"]["patch_embed"]["kernel"]
+    )
+    want = np.asarray(
+        converted["params"]["sam"]["image_encoder"]["trunk"]["patch_embed"]["kernel"]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # prompt predictor params survive from init (not in the checkpoint)
+    assert "prompt_predictor" in merged["params"]["sam"]
+
+    # missing weights → None with a warning, not an error
+    assert sam.load_pretrained_variables(tmp_path / "nowhere") is None
