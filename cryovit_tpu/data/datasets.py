@@ -27,6 +27,7 @@ import pandas as pd
 
 from cryovit_tpu.data.transforms import pad_slices_to_multiple
 from cryovit_tpu.io import load_data, load_labels
+from cryovit_tpu.io.hdf import read_dataset
 from cryovit_tpu.types import FileData, TomogramData
 
 logger = logging.getLogger(__name__)
@@ -124,8 +125,8 @@ class TomoDataset:
             label_path = f"labels/{self.label_key}"
             if label_path not in f:
                 raise KeyError(f"{tomo_path}: missing label key {label_path!r}")
-            data = np.asarray(f[self.input_key][()])
-            label = np.asarray(f[label_path][()]).astype(np.int8)
+            data = np.asarray(read_dataset(f[self.input_key]))
+            label = np.asarray(read_dataset(f[label_path])).astype(np.int8)
             aux = {}
             for key in self.aux_keys:
                 if key == "sam_features" and key in f:

@@ -14,12 +14,85 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
+import zlib
 from pathlib import Path
 
 import h5py
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+# Threads for parallel gzip-chunk decode (h5py holds a global lock around
+# every libhdf5 call, so its built-in decompression SERIALIZES across
+# threads — the pool below decompresses raw chunks with zlib, which
+# releases the GIL, restoring the parallelism the reference gets from 8
+# DataLoader worker processes).
+_DECODE_THREADS = max(1, int(os.environ.get("CRYOVIT_DECODE_THREADS", "8")))
+_decode_pool = None
+
+
+def _get_decode_pool():
+    global _decode_pool
+    if _decode_pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _decode_pool = ThreadPoolExecutor(
+            max_workers=_DECODE_THREADS, thread_name_prefix="hdf-gzip"
+        )
+    return _decode_pool
+
+
+def _unshuffle(buf: bytes, itemsize: int) -> bytes:
+    """Invert the HDF5 shuffle filter (byte-transpose)."""
+    arr = np.frombuffer(buf, np.uint8)
+    return arr.reshape(itemsize, -1).T.tobytes()
+
+
+def read_dataset(ds: h5py.Dataset) -> np.ndarray:
+    """Materialize a dataset; gzip-chunked data decompresses in parallel.
+
+    Raw compressed chunks are fetched under h5py's lock (cheap IO), then
+    zlib-inflated concurrently outside it and scattered into the output
+    array. Non-gzip/non-chunked datasets fall back to a plain read.
+    """
+    if (
+        ds.compression != "gzip"
+        or ds.chunks is None
+        or _DECODE_THREADS <= 1
+        or ds.size * ds.dtype.itemsize < (1 << 20)
+    ):
+        return np.asarray(ds[()])
+    try:
+        dsid = ds.id
+        n_chunks = dsid.get_num_chunks()
+        raw = []
+        for i in range(n_chunks):
+            info = dsid.get_chunk_info(i)
+            raw.append(
+                (info.chunk_offset, dsid.read_direct_chunk(info.chunk_offset)[1])
+            )
+    except Exception:  # pragma: no cover - esoteric layouts
+        return np.asarray(ds[()])
+
+    shape, dtype, chunk = ds.shape, ds.dtype, ds.chunks
+    shuffled = bool(ds.shuffle)
+    out = np.empty(shape, dtype)
+
+    def decode(entry):
+        offset, payload = entry
+        buf = zlib.decompress(payload)
+        if shuffled:
+            buf = _unshuffle(buf, dtype.itemsize)
+        block = np.frombuffer(buf, dtype).reshape(chunk)
+        sel = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(offset, chunk, shape)
+        )
+        src = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        out[sel] = block[src]
+
+    list(_get_decode_pool().map(decode, raw))
+    return out
 
 # Datasets larger than this (elements) get their nunique estimated from a
 # sample instead of a full read during key scanning.
@@ -86,7 +159,7 @@ def read_hdf(
                 ds = f[key]
                 if not isinstance(ds, h5py.Dataset):
                     raise KeyError(key)
-                data = ds[()]
+                data = read_dataset(ds)
                 meta = _dataset_metadata(ds)
                 return key, np.asarray(data), meta
             except KeyError:
@@ -106,7 +179,7 @@ def read_hdf(
             data_key,
             metas[data_key].nunique,
         )
-        data = datasets[data_key][()]
+        data = read_dataset(datasets[data_key])
         return data_key, np.asarray(data), metas[data_key]
 
 

@@ -119,3 +119,50 @@ def setup_exp_dir(cfg: DotDict) -> Path:
         exp_dir = exp_dir / f"test_{test_sample}"
     exp_dir.mkdir(parents=True, exist_ok=True)
     return exp_dir
+
+
+def pipeline_io(
+    n: int,
+    read_fn,
+    compute_fn,
+    write_fn,
+    read_ahead: int = 2,
+    writers: int = 2,
+) -> list:
+    """Read → compute → write pipeline for extraction sweeps.
+
+    Reads prefetch in a small thread pool (``read_ahead`` items deep),
+    writes retire in a writer pool with bounded backpressure, and compute
+    (the jit'd device program) stays on the caller thread — so host HDF5
+    decode and gzip encode overlap device time instead of serializing
+    with it (the reference gets the read half of this from its 8
+    DataLoader workers; the write half it does serially).
+
+    ``read_fn(i)`` → item; ``compute_fn(i, item)`` → result;
+    ``write_fn(i, result)`` → value collected into the returned list
+    (in order).
+    """
+    import concurrent.futures as cf
+    import time as _time
+    from collections import deque
+
+    if n <= 0:
+        return []
+    with cf.ThreadPoolExecutor(
+        max_workers=max(1, read_ahead), thread_name_prefix="cryovit-read"
+    ) as rpool, cf.ThreadPoolExecutor(
+        max_workers=max(1, writers), thread_name_prefix="cryovit-write"
+    ) as wpool:
+        pending = deque(
+            rpool.submit(read_fn, i) for i in range(min(read_ahead, n))
+        )
+        write_futures = []
+        for i in range(n):
+            item = pending.popleft().result()
+            if i + read_ahead < n:
+                pending.append(rpool.submit(read_fn, i + read_ahead))
+            result = compute_fn(i, item)
+            write_futures.append(wpool.submit(write_fn, i, result))
+            while sum(not f.done() for f in write_futures) > 2 * writers:
+                _time.sleep(0.005)
+        return [f.result() for f in write_futures]

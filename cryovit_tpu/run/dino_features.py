@@ -185,15 +185,17 @@ def save_feature_hdf(
 def _read_source(path: Path) -> dict[str, np.ndarray]:
     """Flat dict of all datasets (labels group flattened to bare names),
     mirroring the reference's source-copy walk."""
+    from cryovit_tpu.io.hdf import read_dataset
+
     out: dict[str, np.ndarray] = {}
     with h5py.File(path, "r") as f:
         for key in f:
             item = f[key]
             if isinstance(item, h5py.Group):
                 for sub in item:
-                    out[sub] = np.asarray(item[sub][()])
+                    out[sub] = np.asarray(read_dataset(item[sub]))
             else:
-                out[key] = np.asarray(item[()])
+                out[key] = np.asarray(read_dataset(item))
     return out
 
 
@@ -230,23 +232,28 @@ def run_dino(
     files = [FileData(tomo_path=Path(f)) for f in train_data]
     dataset = FileDataset(files, input_key=None, label_key=None, for_dino=True)
 
-    written = []
-    for i in range(len(dataset)):
-        item = dataset[i]
+    from cryovit_tpu.run.common import pipeline_io
+
+    def compute(i, item):
         stack = item.data[..., 0]  # (D, H16, W16)
-        features = extractor.extract(stack)
+        return item, extractor.extract(stack)
+
+    def write(i, result):
+        item, features = result
         out_path = Path(result_dir) / f"{Path(train_data[i]).stem}.hdf"
         save_feature_hdf(
             {"data": item.aux_data["data"]}, features, out_path.name, out_path.parent
         )
-        written.append(out_path)
         logger.info("wrote %s (%s)", out_path, features.shape)
         if visualize:
             _maybe_export_pca(
                 item.aux_data["data"], features, out_path.stem,
                 Path(result_dir) / "dino_images" / out_path.stem,
             )
-    return written
+        return out_path
+
+    # decode / device compute / gzip write overlap (run/common.pipeline_io)
+    return pipeline_io(len(dataset), dataset.__getitem__, compute, write)
 
 
 # ---- experiment path ------------------------------------------------------
@@ -279,19 +286,30 @@ def run_trainer(cfg: DotDict, dino_cfg: DinoV2Config | None = None) -> None:
             names = sorted(
                 f.name for f in tomo_dir.glob("*") if f.suffix in tomogram_exts
             )
-        for name in names:
-            source = _read_source(tomo_dir / name)
+        from cryovit_tpu.run.common import pipeline_io
+
+        def read(i, _names=names, _dir=tomo_dir):
+            return _read_source(_dir / _names[i])
+
+        def compute(i, source):
             data = source["data"]
             # uint8 stays uint8 — the extractor normalizes on device
             stack = data if data.dtype == np.uint8 else data.astype(np.float32)
             stack = pad_slices_to_multiple(stack)
-            features = extractor.extract(stack)
-            save_feature_hdf(source, features, name, dst_dir / sample)
-            logger.info("[%s] %s → %s", sample, name, features.shape)
+            return source, extractor.extract(stack)
+
+        def write(i, result, _names=names, _sample=sample):
+            source, features = result
+            name = _names[i]
+            save_feature_hdf(source, features, name, dst_dir / _sample)
+            logger.info("[%s] %s → %s", _sample, name, features.shape)
             if cfg.get("export_features"):
                 _maybe_export_pca(
-                    data, features, Path(name).stem, image_dir / sample
+                    source["data"], features, Path(name).stem, image_dir / _sample
                 )
+
+        # gzip decode / device compute / gzip write overlap
+        pipeline_io(len(names), read, compute, write)
 
 
 def _maybe_export_pca(data, features, name, out_dir) -> None:

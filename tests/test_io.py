@@ -141,3 +141,107 @@ def test_write_hdf_layout(tmp_path, rng):
         assert f["labels/mito"].compression == "gzip"
         assert f["dino_features"].compression is None  # fp16 uncompressed
         np.testing.assert_array_equal(f["dino_features"][()], feats)
+
+
+def test_read_dataset_parallel_gzip_roundtrip(tmp_path):
+    """The parallel chunk decoder reproduces h5py's own read exactly —
+    gzip, gzip+shuffle, partial edge chunks, and small/uncompressed
+    fallbacks."""
+    import h5py
+
+    from cryovit_tpu.io.hdf import read_dataset
+
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 255, size=(37, 300, 290)).astype(np.uint8)
+    f16 = rng.standard_normal((64, 64)).astype(np.float16)
+    path = tmp_path / "chunks.hdf"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("gz", data=big, compression="gzip", chunks=(8, 128, 128))
+        f.create_dataset(
+            "gzsh", data=big.astype(np.int16), compression="gzip",
+            shuffle=True, chunks=(16, 64, 64),
+        )
+        f.create_dataset("plain", data=f16)
+    with h5py.File(path, "r") as f:
+        np.testing.assert_array_equal(read_dataset(f["gz"]), big)
+        np.testing.assert_array_equal(read_dataset(f["gzsh"]), big.astype(np.int16))
+        np.testing.assert_array_equal(read_dataset(f["plain"]), f16)
+
+
+def test_parallel_gzip_decode_beats_serial(tmp_path):
+    """Decode throughput: the chunk-parallel reader must beat h5py's
+    locked inline decompression on a multi-chunk gzip volume (this is the
+    parallelism the reference gets from 8 DataLoader worker processes,
+    reference configs/datamodule/dataloader/default.yaml:2-7)."""
+    import os
+    import time
+
+    import h5py
+
+    from cryovit_tpu.io.hdf import read_dataset
+
+    if (os.cpu_count() or 1) < 4:
+        pytest.skip("needs ≥4 CPUs for a meaningful parallelism check")
+
+    rng = np.random.default_rng(4)
+    # incompressible-ish payload → decode cost is real inflate work
+    vol = rng.integers(0, 255, size=(64, 512, 512)).astype(np.uint8)
+    path = tmp_path / "big.hdf"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=vol, compression="gzip", chunks=(4, 512, 512))
+
+    with h5py.File(path, "r") as f:
+        ds = f["data"]
+        for _ in range(2):  # warm page cache + pool
+            read_dataset(ds)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = read_dataset(ds)
+        par = (time.perf_counter() - t0) / 3
+        t0 = time.perf_counter()
+        for _ in range(3):
+            ref = ds[()]
+        ser = (time.perf_counter() - t0) / 3
+    np.testing.assert_array_equal(out, vol)
+    assert ser / par > 1.5, f"parallel decode only {ser / par:.2f}x faster"
+
+
+def test_dataloader_workers_overlap(tmp_path):
+    """Loader-level overlap: 4 decode workers must beat 1 on a
+    GIL-releasing per-item decode (zlib), proving items genuinely decode
+    concurrently rather than through a single producer thread."""
+    import os
+    import time
+    import zlib
+
+    from cryovit_tpu.data.pipeline import DataLoader
+
+    if (os.cpu_count() or 1) < 4:
+        pytest.skip("needs ≥4 CPUs for a meaningful parallelism check")
+
+    rng = np.random.default_rng(5)
+    blob = zlib.compress(rng.integers(0, 255, size=24 << 20).astype(np.uint8).tobytes(), 6)
+
+    class _Decode:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return len(zlib.decompress(blob))
+
+    def timed(workers):
+        loader = DataLoader(
+            _Decode(), batch_size=1, num_workers=workers,
+            collate_fn=lambda items: items,
+        )
+        list(iter(loader))  # warm
+        t0 = time.perf_counter()
+        out = list(iter(loader))
+        assert len(out) == 12
+        return time.perf_counter() - t0
+
+    serial = timed(1)
+    parallel = timed(4)
+    assert serial / parallel > 1.6, (
+        f"num_workers=4 only {serial / parallel:.2f}x faster than 1"
+    )
