@@ -1,22 +1,30 @@
 """3D U-Net prompt predictor for SAM2 (flax).
 
-Parity target: reference ``models/sam2_blocks.py:146-221`` — a small 3D
+Parity target: reference ``models/sam2_blocks.py:14-223`` — a small 3D
 U-Net over the level-0 (stride-4, 256-ch) backbone features predicting a
-per-slice dense mask prompt (1 channel, 4× bilinear upsample) and a
-normalized box per slice (global-avg-pool + linear, (x1y1, x1y1+wh) with
-sigmoid). Channel multipliers [1, 2, 4, 8, 10] × hidden 16, depth 4,
-MaxPool3d downs, trilinear-style ups with skip concat.
+per-slice dense mask prompt and a normalized box per slice:
+
+- ``PromptConvBlock``: Conv3d(k3, bias=False) + InstanceNorm3d
+  (no affine, eps 1e-5) + exact GELU,
+- ``PromptInConv``: 2 conv blocks; ``PromptDownBlock``: MaxPool3d(2) + 2
+  conv blocks; ``PromptUpBlock``: trilinear align_corners=True upsample
+  to the skip size, concat, then 2 conv blocks (reference ``:105-119``),
+- mask head: 1×1×1 conv + 4× BILINEAR align_corners=True upsample
+  (reference ``:216-221``),
+- box head: per-slice global average pool + Linear → sigmoid, corners
+  ``(x1y1, x1y1 + wh)`` with no clipping (reference ``:122-143``).
+
+Channel multipliers [1, 2, 4, 8, 10] × hidden 16, depth 4.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cryovit_tpu.ops.resize import resize_bicubic_2d
+from cryovit_tpu.ops.resize import linear_resize_matrix
 
 __all__ = ["PromptPredictor"]
 
@@ -35,11 +43,22 @@ class _ConvBlock(nn.Module):
         return nn.gelu(x, approximate=False)
 
 
-def _trilinear_resize(x: jnp.ndarray, shape: tuple[int, int, int]) -> jnp.ndarray:
-    """(B, D, H, W, C) → resized spatial dims with linear interpolation."""
-    return jax.image.resize(
-        x, (x.shape[0], *shape, x.shape[-1]), method="trilinear"
-    )
+def _resize_align_corners(x: jnp.ndarray, shape: tuple[int, int, int]) -> jnp.ndarray:
+    """(B, D, H, W, C) → trilinear align_corners=True resize of D/H/W
+    (torch F.interpolate convention the reference uses), as separable
+    matrix contractions on the MXU."""
+    out = x
+    for axis, size in enumerate(shape):
+        in_size = out.shape[axis + 1]
+        if in_size == size:
+            continue
+        mat = jnp.asarray(linear_resize_matrix(in_size, size), dtype=out.dtype)
+        out = jnp.moveaxis(
+            jnp.tensordot(mat, jnp.moveaxis(out, axis + 1, 0), axes=(1, 0)),
+            0,
+            axis + 1,
+        )
+    return out
 
 
 class PromptPredictor(nn.Module):
@@ -65,7 +84,8 @@ class PromptPredictor(nn.Module):
         skips = []
         for i in range(self.depth):
             skips.append(x)
-            # pool only dims that can still halve (shallow z-stacks keep D)
+            # pool only dims that can still halve (shallow z-stacks keep D;
+            # the reference asserts its inputs stay poolable instead)
             win = tuple(2 if x.shape[k + 1] >= 2 else 1 for k in range(3))
             x = nn.max_pool(x, win, strides=win)
             x = _ConvBlock(ch[i + 1], name=f"down{i}_0")(x)
@@ -73,21 +93,22 @@ class PromptPredictor(nn.Module):
 
         for i in reversed(range(self.depth)):
             skip = skips.pop()
-            x = _trilinear_resize(x, skip.shape[1:4])
+            x = _resize_align_corners(x, skip.shape[1:4])
             x = jnp.concatenate([skip, x], axis=-1)
-            x = _ConvBlock(ch[i], name=f"up{i}")(x)
+            x = _ConvBlock(ch[i], name=f"up{i}_0")(x)
+            x = _ConvBlock(ch[i], name=f"up{i}_1")(x)
 
-        # dense mask prompt: 1-channel, 4× upsampled to SAM input resolution
+        # dense mask prompt: 1-channel, 4× bilinear (align_corners=True)
         prompt = nn.Conv(1, (1, 1, 1), name="prompt_out")(x)  # (B, D, h, w, 1)
-        prompt = prompt.reshape(b * d, h, w)
-        prompt = resize_bicubic_2d(
-            prompt, h * self.scale_factor, w * self.scale_factor
-        )[..., None]
+        prompt = prompt.reshape(b * d, h, w, 1)
+        prompt = _resize_align_corners(
+            prompt[:, None], (1, h * self.scale_factor, w * self.scale_factor)
+        )[:, 0, ..., 0][..., None]
 
         # box: global average pool per slice + linear → (x1y1, x1y1+wh)
         pooled = x.mean(axis=(2, 3)).reshape(b * d, -1)  # (B·D, C)
         box = nn.sigmoid(nn.Dense(4, name="box_out")(pooled))
         x1y1 = box[:, :2]
-        x2y2 = jnp.clip(x1y1 + box[:, 2:], 0.0, 1.0)
+        x2y2 = x1y1 + box[:, 2:]
         boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
         return boxes, prompt

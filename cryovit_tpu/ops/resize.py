@@ -72,3 +72,30 @@ def resize_bicubic_2d(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 def resize_slices(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Resize a slice stack ``(D, H, W)`` or batch ``(B, D, H, W)``."""
     return resize_bicubic_2d(x, out_h, out_w)
+
+
+def linear_resize_matrix(
+    in_size: int, out_size: int, align_corners: bool = True
+) -> np.ndarray:
+    """Linear interpolation matrix ``(out, in)``.
+
+    ``align_corners=True`` matches torch ``F.interpolate(...,
+    mode="bilinear"/"trilinear", align_corners=True)`` — the convention the
+    reference PromptPredictor uses for its skip-connection and 4× prompt
+    upsampling (reference ``models/sam2_blocks.py:114-116, 216-221``).
+    """
+    if in_size == out_size:
+        return np.eye(out_size, dtype=np.float32)
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners and out_size > 1:
+        src = dst * (in_size - 1) / (out_size - 1)
+    else:
+        src = np.clip((dst + 0.5) * in_size / out_size - 0.5, 0, in_size - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.clip(i0, 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w = np.clip(src - i0, 0.0, 1.0)
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    np.add.at(mat, (dst.astype(np.int64), i0), 1.0 - w)
+    np.add.at(mat, (dst.astype(np.int64), i1), w)
+    return mat.astype(np.float32)

@@ -783,8 +783,11 @@ def _renamed(sd: dict, renames: list[tuple[str, str]]) -> dict:
     return out
 
 
-def _published_full_state_dict(cfg: SAM2Config, rng) -> dict:
-    """Build a sam2.1-checkpoint-shaped state dict for ``cfg``."""
+def _published_full_state_dict(cfg: SAM2Config, rng, return_modules: bool = False):
+    """Build a sam2.1-checkpoint-shaped state dict for ``cfg``.
+
+    With ``return_modules`` also returns the torch clone instances whose
+    weights the state dict carries (for the train-step parity test)."""
     torch.manual_seed(11)
 
     def rand(*shape):
@@ -875,6 +878,8 @@ def _published_full_state_dict(cfg: SAM2Config, rng) -> dict:
     sd["obj_ptr_tpos_proj.weight"] = rand(cfg.mem_dim, d)
     sd["obj_ptr_tpos_proj.bias"] = rand(cfg.mem_dim)
     sd["no_obj_ptr"] = rand(1, d)
+    if return_modules:
+        return sd, {"hiera": th, "decoder": td, "memenc": tme, "memattn": tma}
     return sd
 
 
@@ -972,3 +977,142 @@ def test_pretrained_sam2_weights_merge(tmp_path, rng):
 
     # missing weights → None with a warning, not an error
     assert sam.load_pretrained_variables(tmp_path / "nowhere") is None
+
+
+# ======================= Prompt predictor ====================================
+# Torch clone of the reference's own PromptPredictor (reference
+# models/sam2_blocks.py:14-223 — the one first-party SAM2 module the
+# reference defines itself rather than importing from the sam2 package),
+# with its attribute naming, InstanceNorm3d(no-affine) conv blocks,
+# align_corners=True resizes, and unclipped box corners.
+
+class _TPromptConvBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Conv3d(cin, cout, 3, padding=1, bias=False)
+        self.norm = nn.InstanceNorm3d(cout)
+        self.act = nn.GELU()
+
+    def forward(self, x):
+        return self.act(self.norm(self.conv(x)))
+
+
+class _TPromptPredictor(nn.Module):
+    def __init__(self, in_channels, hidden=16, depth=4, mults=(1, 2, 4, 8, 10)):
+        super().__init__()
+        ch = [m * hidden for m in mults]
+        self.scale_factor = 4
+        self.init_conv = nn.Module()
+        self.init_conv.layers = nn.Sequential(
+            _TPromptConvBlock(in_channels, ch[0]), _TPromptConvBlock(ch[0], ch[0])
+        )
+        self.down_layers = nn.ModuleList()
+        for i in range(depth):
+            blk = nn.Module()
+            blk.layers = nn.Sequential(
+                nn.MaxPool3d(2),
+                _TPromptConvBlock(ch[i], ch[i + 1]),
+                _TPromptConvBlock(ch[i + 1], ch[i + 1]),
+            )
+            self.down_layers.append(blk)
+        self.up_layers = nn.ModuleList()
+        for i in reversed(range(depth)):
+            blk = nn.Module()
+            blk.layers = nn.Sequential(
+                _TPromptConvBlock(ch[i + 1] + ch[i], ch[i]),
+                _TPromptConvBlock(ch[i], ch[i]),
+            )
+            self.up_layers.append(blk)
+        self.prompt_out = nn.Conv3d(ch[0], 1, 1)
+        self.box_out = nn.Module()
+        self.box_out.fc = nn.Linear(ch[0], 4)
+
+    def forward(self, x, num_batches):  # x (B·D, C, H, W)
+        bd, c, hh, ww = x.shape
+        x = x.view(num_batches, -1, c, hh, ww).transpose(1, 2)
+        x = self.init_conv.layers(x)
+        outs = []
+        for blk in self.down_layers:
+            outs.append(x)
+            x = blk.layers(x)
+        for blk, skip in zip(self.up_layers, reversed(outs)):
+            x = F.interpolate(
+                x, size=skip.shape[-3:], mode="trilinear", align_corners=True
+            )
+            x = blk.layers(torch.cat([skip, x], dim=1))
+        prompts = self.prompt_out(x).view(bd, 1, hh, ww)
+        prompts = F.interpolate(
+            prompts, scale_factor=self.scale_factor, mode="bilinear",
+            align_corners=True,
+        )
+        pooled = x.mean(dim=(-2, -1)).transpose(1, 2).reshape(bd, -1)
+        box = torch.sigmoid(self.box_out.fc(pooled))
+        x1y1 = box[:, :2]
+        return torch.cat([x1y1, x1y1 + box[:, 2:]], dim=1), prompts
+
+
+def _conv3d_nobias(sd, prefix):
+    return {"kernel": sd[f"{prefix}.weight"].numpy().transpose(2, 3, 4, 1, 0)}
+
+
+def _map_prompt_predictor(tm: _TPromptPredictor, depth=4) -> dict:
+    sd = tm.state_dict()
+    params = {
+        "in0": {"Conv_0": _conv3d_nobias(sd, "init_conv.layers.0.conv")},
+        "in1": {"Conv_0": _conv3d_nobias(sd, "init_conv.layers.1.conv")},
+        "prompt_out": {
+            "kernel": sd["prompt_out.weight"].numpy().transpose(2, 3, 4, 1, 0),
+            "bias": sd["prompt_out.bias"].numpy(),
+        },
+        "box_out": {
+            "kernel": sd["box_out.fc.weight"].numpy().T,
+            "bias": sd["box_out.fc.bias"].numpy(),
+        },
+    }
+    for i in range(depth):
+        params[f"down{i}_0"] = {
+            "Conv_0": _conv3d_nobias(sd, f"down_layers.{i}.layers.1.conv")
+        }
+        params[f"down{i}_1"] = {
+            "Conv_0": _conv3d_nobias(sd, f"down_layers.{i}.layers.2.conv")
+        }
+    for j, i in enumerate(reversed(range(depth))):
+        params[f"up{i}_0"] = {
+            "Conv_0": _conv3d_nobias(sd, f"up_layers.{j}.layers.0.conv")
+        }
+        params[f"up{i}_1"] = {
+            "Conv_0": _conv3d_nobias(sd, f"up_layers.{j}.layers.1.conv")
+        }
+    return {"params": params}
+
+
+def test_prompt_predictor_torch_parity(rng):
+    """flax PromptPredictor vs the reference-faithful torch clone: boxes
+    and 4×-upsampled mask prompts match through weight mapping."""
+    from cryovit_tpu.models.sam2.prompt_predictor import PromptPredictor
+
+    # depth/h/w stay ≥2 at the U-Net bottom (InstanceNorm needs >1 element)
+    cin, b, d, hh = 32, 1, 32, 32
+    torch.manual_seed(5)
+    tm = _TPromptPredictor(cin).eval()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.uniform_(-0.1, 0.1)
+    fm = PromptPredictor(in_channels=cin)
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, _map_prompt_predictor(tm)
+    )
+
+    feats = rng.random((b, d, hh, hh, cin)).astype(np.float32)
+    boxes, prompts = fm.apply(variables, jnp.asarray(feats))
+    with torch.no_grad():
+        t_boxes, t_prompts = tm(
+            torch.from_numpy(
+                feats.reshape(b * d, hh, hh, cin).transpose(0, 3, 1, 2)
+            ),
+            b,
+        )
+    np.testing.assert_allclose(np.asarray(boxes), t_boxes.numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(prompts)[..., 0], t_prompts[:, 0].numpy(), atol=2e-4
+    )
