@@ -790,6 +790,16 @@ def _published_full_state_dict(cfg: SAM2Config, rng, return_modules: bool = Fals
     weights the state dict carries (for the train-step parity test)."""
     torch.manual_seed(11)
 
+    def small_init(module):
+        # keep activations tame so f32 accumulation-order noise between
+        # frameworks stays inside parity tolerances (torch default inits
+        # produce O(10) activations whose relative noise amplifies over
+        # the 4-stage trunk + heads)
+        with torch.no_grad():
+            for p in module.parameters():
+                p.uniform_(-0.05, 0.05)
+        return module
+
     def rand(*shape):
         return rng.standard_normal(shape).astype(np.float32) * 0.05
 
@@ -797,7 +807,7 @@ def _published_full_state_dict(cfg: SAM2Config, rng, return_modules: bool = Fals
 
     # ---- image encoder: Hiera trunk (published: mlp.layers.{0,1},
     # patch_embed.proj) + FPN neck (convs ordered low-res→high-res)
-    th = _THiera(cfg.hiera)
+    th = small_init(_THiera(cfg.hiera))
     trunk = {k: v.detach().numpy() for k, v in th.state_dict().items()}
     renames = [("patch_embed.", "patch_embed.proj.")]
     for i in range(len(th.blocks)):
@@ -832,7 +842,7 @@ def _published_full_state_dict(cfg: SAM2Config, rng, return_modules: bool = Fals
     sd[f"{pe}.mask_downscaling.6.bias"] = rand(d)
 
     # ---- mask decoder (published transformer/upscaling naming)
-    td = _TMaskDecoder(cfg, rank=0, alpha=1.0)
+    td = small_init(_TMaskDecoder(cfg, rank=0, alpha=1.0))
     dec = {k: v.detach().numpy() for k, v in td.state_dict().items()}
     renames = [
         ("final_attn.", "transformer.final_attn_token_to_image."),
@@ -864,9 +874,9 @@ def _published_full_state_dict(cfg: SAM2Config, rng, return_modules: bool = Fals
     sd.update({f"sam_mask_decoder.{k}": v for k, v in dec.items()})
 
     # ---- memory modules (published naming straight from the clones)
-    tme = _TMemoryEncoder(cfg)
+    tme = small_init(_TMemoryEncoder(cfg))
     sd.update(_numpy_sd(tme, "memory_encoder"))
-    tma = _TMemAttn(cfg, (cfg.embed_size, cfg.embed_size))
+    tma = small_init(_TMemAttn(cfg, (cfg.embed_size, cfg.embed_size)))
     sd.update(_numpy_sd(tma, "memory_attention"))
 
     # ---- SAM2Base-level embeddings
