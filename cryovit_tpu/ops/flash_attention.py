@@ -122,6 +122,35 @@ def _pick_q_chunks(bq: int, ch_cap: int) -> int:
     return 1
 
 
+def _best_block_chunked(
+    n: int, ch_cap: int, lo: int = 256, hi: int = 1088
+) -> tuple[int, int]:
+    """Joint (block_q, q_chunks) choice for the chunked single-K-block
+    kernel: minimize round-up waste of ``n``, then prefer the largest
+    16-aligned chunk ≤ ``ch_cap`` (tiny chunks mean many small dots with
+    per-op overhead), then the largest block (fewest programs). E.g.
+    4112 tokens → (832, 4): 48 padded rows with 208-row chunks, where a
+    waste-only choice would land on 688 with degenerate 16-row chunks.
+
+    Chunks below 128 rows are considered only when no block offers a
+    bigger one: saving a few padded rows never pays for tripling the
+    per-chain op count."""
+    best_key, best = None, (min(_round_up(n, 16), hi), 1)
+    for ch_min in (min(128, ch_cap), 16):
+        for bq in range(lo, hi + 1, 16):
+            waste = _round_up(n, bq) - n
+            for c in range(1, bq // 16 + 1):
+                ch = bq // c
+                if bq % c == 0 and ch % 16 == 0 and ch_min <= ch <= ch_cap:
+                    key = (waste, -ch, -bq)
+                    if best_key is None or key < best_key:
+                        best_key, best = key, (bq, c)
+                    break  # first divisor = largest chunk for this bq
+        if best_key is not None:
+            return best
+    return best
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_q", "block_k", "dtype", "interpret")
 )
@@ -320,24 +349,50 @@ def _flash_kernel_paired(
             # the numerator and the denominator.
             row = jax.lax.broadcasted_iota(jnp.int32, (kv_pad, 1), 0)
             padm = (row < kv_len)
-            kb = (k_ref[0] + kbias) * padm.astype(jnp.float32)
         else:
             padm = None
-            kb = k_ref[0] + kbias
-        vb = v_ref[0] + vbias
-        vaug = [make_vaug(vb, h, padm) for h in (0, 1)]
+        # one program may carry several (batch·head-pair) planes
+        # (``planes_per_block``) to amortize fixed per-program costs; the
+        # chain pipeline flows across planes. Per-plane operands hoist the
+        # 64-lane head slices out of the chain loop, so per-chain operands
+        # slice only on the sublane (row) axis. (A block-diagonal
+        # both-heads-in-one-dot QK variant measured flat at 512² and
+        # doubles the score tile's VMEM — see the r3 notes in
+        # tools/mxu_probe.py / memory: per-dot fixed cost dominates, but
+        # Mosaic prices the d=64 and d=128 contractions the same, so the
+        # saved dots are repaid by the 2× score width.)
+        n_planes = q_ref.shape[0]
+        K_H, Q_H, V_A = [], [], []
+        for plx in range(n_planes):
+            qp = q_ref[plx] + bias_ref[plx, 0:1]
+            kbp = k_ref[plx] + bias_ref[plx, 1:2]
+            if masked:
+                kbp = kbp * padm.astype(jnp.float32)
+            vbp = v_ref[plx] + bias_ref[plx, 2:3]
+            Q_H.append([qp[:, :d], qp[:, d:]])
+            K_H.append([kbp[:, :d], kbp[:, d:]])
+            V_A.append([make_vaug(vbp, h, padm) for h in (0, 1)])
 
         ch = block_q // q_chunks
-        chains = [(i, h) for i in range(q_chunks) for h in (0, 1)]
+        chains = [
+            (plx, i, h)
+            for plx in range(n_planes)
+            for i in range(q_chunks)
+            for h in (0, 1)
+        ]
         S: list = [None] * len(chains)
         P: list = [None] * len(chains)
         O: list = [None] * len(chains)
         L: list = [None] * len(chains)
 
         def stage_scores(c):
-            i, h = chains[c]
-            qs = q[i * ch : (i + 1) * ch, h * d : (h + 1) * d]
-            S[c] = scores_of(qs, kb, h)
+            plx, i, h = chains[c]
+            qs = Q_H[plx][h][i * ch : (i + 1) * ch]
+            s = jax.lax.dot_general(
+                qs, K_H[plx][h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            S[c] = s if scale == 1.0 else s * scale
 
         def stage_softmax(c):
             s, S[c] = S[c], None
@@ -348,13 +403,13 @@ def _flash_kernel_paired(
             P[c] = softmax_num(s, m)
 
         def stage_pv(c):
-            _, h = chains[c]
+            plx, _, h = chains[c]
             p, P[c] = P[c], None
             if ablate == "nopv":  # perf-lab attribution only (wrong math)
                 O[c] = p[:, :d].astype(jnp.float32)
                 L[c] = jnp.ones((p.shape[0],), jnp.float32)
                 return
-            O[c], L[c] = pv_aug(p, vaug[h])
+            O[c], L[c] = pv_aug(p, V_A[plx][h])
 
         stage_scores(0)
         for c in range(len(chains)):
@@ -362,16 +417,18 @@ def _flash_kernel_paired(
                 stage_scores(c + 1)
             stage_softmax(c)
             stage_pv(c)
-        for i in range(q_chunks):
-            (o0, l0), (o1, l1) = (O[2 * i], L[2 * i]), (O[2 * i + 1], L[2 * i + 1])
-            out = jnp.concatenate(
-                [
-                    o0 * jnp.repeat((1.0 / l0)[:, None], d, axis=1),
-                    o1 * jnp.repeat((1.0 / l1)[:, None], d, axis=1),
-                ],
-                axis=-1,
-            )
-            o_ref[0, i * ch : (i + 1) * ch, :] = out.astype(o_ref.dtype)
+        for plx in range(n_planes):
+            for i in range(q_chunks):
+                c0 = (plx * q_chunks + i) * 2
+                (o0, l0), (o1, l1) = (O[c0], L[c0]), (O[c0 + 1], L[c0 + 1])
+                out = jnp.concatenate(
+                    [
+                        o0 * jnp.repeat((1.0 / l0)[:, None], d, axis=1),
+                        o1 * jnp.repeat((1.0 / l1)[:, None], d, axis=1),
+                    ],
+                    axis=-1,
+                )
+                o_ref[plx, i * ch : (i + 1) * ch, :] = out.astype(o_ref.dtype)
         return
 
     m0 = jnp.full((2, block_q), NEG_INF, dtype=jnp.float32)
@@ -422,7 +479,7 @@ def _flash_kernel_paired(
     jax.jit,
     static_argnames=(
         "block_q", "block_k", "interpret", "pre_scaled", "exp2_bf16",
-        "true_len", "q_chunks", "softmax_shift", "ablate",
+        "true_len", "q_chunks", "softmax_shift", "ablate", "planes_per_block",
     ),
 )
 def flash_attention_pairs(
@@ -439,6 +496,7 @@ def flash_attention_pairs(
     q_chunks: int | None = None,
     softmax_shift: bool = True,
     ablate: str = "",
+    planes_per_block: int = 1,
 ) -> jnp.ndarray:
     """Flash attention on pair-packed ``(B, H/2, N, 2·D)`` planes → same
     layout. Plane ``g`` holds heads ``2g`` (lanes ``0:D``) and ``2g+1``
@@ -466,30 +524,35 @@ def flash_attention_pairs(
     # 1029→1040 instead of 1152 trims ~10% of kernel + projection work.
     # For longer sequences pick the block size minimizing round-up waste
     # (e.g. 4101 tokens: 1040-blocks pad 1.4% where 512-blocks pad 12%).
+    nk_full = _round_up(n, 16)
+    # VMEM cap on the per-chunk tiles: the pipeline keeps the NEXT chunk's
+    # f32 score tile live alongside the current bf16 numerator (~10B/elem),
+    # plus fixed K/V/bias buffers — so the budget is deliberately
+    # conservative (the 4112-token path measured 25MB scoped VMEM against
+    # the 16MB limit with a looser cap)
+    ch_cap = max(16, min(320, (4_500_000 // (nk_full * 6)) // 16 * 16))
     if block_q is None or block_k is None:
-        nk_full = _round_up(n, 16)
         # prefer a single K block (static fast path, no online-softmax
-        # correction state) whenever a ≥128-row q CHUNK's f32 score +
-        # bf16 numerator tiles (~6B/elem) fit the VMEM budget — the
-        # pipelined kernel holds one chunk's score tile at a time, so
-        # the q *block* can be much larger than the old per-block fit
-        ch_cap = min(320, (6_000_000 // (nk_full * 6)) // 16 * 16)
+        # correction state) whenever a ≥128-row chunk fits the budget
         if n <= 1280:
             bq_auto, bk_auto = _round_up(n, 16), nk_full
+            qc_auto = _pick_q_chunks(bq_auto, ch_cap)
         elif ch_cap >= 128:
-            bq_auto, bk_auto = _best_block(n, lo=256, hi=1088), nk_full
+            bq_auto, qc_auto = _best_block_chunked(n, ch_cap)
+            bk_auto = nk_full
         else:
             bq_auto, bk_auto = _best_block(n), _best_block(n)
+            qc_auto = 1
         if block_q is None:
             block_q = bq_auto
+            if q_chunks is None:
+                q_chunks = qc_auto
         if block_k is None:
             block_k = bk_auto
     block_q = min(block_q, _round_up(n, 16))
     block_k = min(block_k, _round_up(n, 16))
     if q_chunks is None:
-        nk_full = _round_up(n, 16)
-        ch_cap = min(320, (6_000_000 // (nk_full * 6)) // 16 * 16)
-        q_chunks = _pick_q_chunks(block_q, max(ch_cap, 16))
+        q_chunks = _pick_q_chunks(block_q, ch_cap)
     if block_q % q_chunks or (block_q // q_chunks) % 16:
         raise ValueError(
             f"q_chunks={q_chunks} must divide block_q={block_q} into "
@@ -513,7 +576,14 @@ def flash_attention_pairs(
         bias = jnp.zeros((g, 3, p), dtype=q.dtype)
     else:
         bias = jnp.swapaxes(kv_bias, 0, 1).astype(q.dtype)
-    grid = (b * g, nq // block_q)
+    # multiple planes per program amortize fixed per-program cost
+    # (DMA/semaphore/window bookkeeping); only for the single-K-block path
+    # and when the plane count divides cleanly
+    pb = planes_per_block
+    if pb > 1 and not (nk == block_k and (b * g) % pb == 0 and g % pb == 0):
+        pb = 1
+    grid = ((b * g) // pb, nq // block_q)
+    g_blocks = g // pb
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel_paired,
@@ -529,20 +599,22 @@ def flash_attention_pairs(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+                (pb, block_q, p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, nk, p), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
+                (pb, nk, p), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, nk, p), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
+                (pb, nk, p), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 3, p), lambda bh, qi: (bh % g, 0, 0), memory_space=pltpu.VMEM
+                (pb, 3, p),
+                lambda bh, qi: (bh % g_blocks, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+            (pb, block_q, p), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b * g, nq, p), q.dtype),
         interpret=interpret,
