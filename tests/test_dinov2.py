@@ -69,6 +69,74 @@ def test_flash_attention_pairs_matches_reference(rng, n, block_k):
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
 
 
+def test_flash_attention_pairs_multi_plane(rng):
+    """``planes_per_block=2`` (several batch·head-pair planes per program,
+    amortizing fixed per-program cost) is numerically identical to the
+    one-plane-per-program layout, including with key padding."""
+    from cryovit_tpu.ops.flash_attention import flash_attention_pairs
+
+    b, g, n, p = 2, 2, 200, 128
+    q = jnp.asarray(rng.standard_normal((b, g, n, p)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, g, n, p)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, g, n, p)), dtype=jnp.float32)
+    base = flash_attention_pairs(q, k, v, interpret=True)
+    multi = flash_attention_pairs(q, k, v, interpret=True, planes_per_block=2)
+    np.testing.assert_allclose(np.asarray(multi), np.asarray(base), atol=2e-6)
+
+    # padded keys (true_len < n) must stay masked in every plane
+    base_m = flash_attention_pairs(q, k, v, interpret=True, true_len=190)
+    multi_m = flash_attention_pairs(
+        q, k, v, interpret=True, true_len=190, planes_per_block=2
+    )
+    np.testing.assert_allclose(np.asarray(multi_m), np.asarray(base_m), atol=2e-6)
+
+    # indivisible plane counts must silently fall back, not crash
+    odd = flash_attention_pairs(q, k, v, interpret=True, planes_per_block=3)
+    np.testing.assert_allclose(np.asarray(odd), np.asarray(base), atol=2e-6)
+
+
+def test_best_block_chunked_invariants():
+    """The joint (block_q, q_chunks) chooser must always return a block the
+    kernel accepts: chunks divide the block into 16-aligned rows within the
+    VMEM cap, and no competitor with the same round-up waste offers a
+    bigger chunk."""
+    from cryovit_tpu.ops.flash_attention import _best_block_chunked, _round_up
+
+    for n in [1281, 1717, 2601, 4101, 4112, 5000, 8192]:
+        for cap in [128, 176, 320]:
+            bq, c = _best_block_chunked(n, cap)
+            ch = bq // c
+            assert bq % c == 0 and ch % 16 == 0, (n, cap, bq, c)
+            assert ch <= cap, (n, cap, bq, c)
+            assert 256 <= bq <= 1088 or c == 1, (n, cap, bq, c)
+    # the 1024²-slice production shape under its real cap (176 rows)
+    assert _best_block_chunked(4112, 176) == (320, 2)
+
+
+@pytest.mark.parametrize("n", [1717, 2601])
+def test_flash_attention_pairs_auto_chunked_long(rng, n):
+    """Long sequences (>1280 tokens) auto-route to the chunked
+    single-K-block path; verify the chosen configuration end to end."""
+    from cryovit_tpu.ops.flash_attention import flash_attention_pairs
+
+    b, h, d = 1, 2, 64
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), dtype=jnp.float32)
+    ref = attention_reference(q, k, v)
+
+    def pack(x):  # (B,N,H,D) → (B,H/2,N,2D)
+        x = jnp.moveaxis(x, 1, 2)
+        return x.reshape(b, h // 2, 2, n, d).transpose(0, 1, 3, 2, 4).reshape(
+            b, h // 2, n, 2 * d
+        )
+
+    out = flash_attention_pairs(pack(q), pack(k), pack(v), interpret=True)
+    out = out.reshape(b, h // 2, n, 2, d).transpose(0, 1, 3, 2, 4)
+    out = jnp.moveaxis(out.reshape(b, h, n, d), 1, 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_dinov2_pair_path_matches_xla(rng):
     """Full model: the pair-packed projection/attention path (the TPU
     production path) reproduces XLA einsum attention with the same params."""
