@@ -101,7 +101,12 @@ def main() -> None:
     variables = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
     )
-    extractor = DinoExtractor(variables, cfg=cfg, batch_size=batch)
+    # --int8: measure the opt-in w8a8 projection mode (not the official
+    # number the driver records — that stays bf16)
+    quant_int8 = "--int8" in sys.argv
+    extractor = DinoExtractor(
+        variables, cfg=cfg, batch_size=batch, quant_int8=quant_int8
+    )
 
     rng = np.random.default_rng(0)
     # distinct input per timed step: the tunneled runtime has been observed
@@ -143,7 +148,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "dinov2_vitg14_extraction_throughput",
+                "metric": "dinov2_vitg14_extraction_throughput"
+                + ("_int8" if quant_int8 else ""),
                 "value": round(per_chip, 2),
                 "unit": "slices/sec/chip (512x512 slices)",
                 "vs_baseline": round(per_chip / A100_REFERENCE_SLICES_PER_SEC, 3),

@@ -28,6 +28,9 @@ def _add_features(sub: argparse._SubParsersAction) -> None:
                    help="Save PCA visualizations of DINO features (slower).")
     p.add_argument("--use-sam", action="store_true",
                    help="Extract SAM2 feature pyramids instead of DINOv2.")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 projection matmuls on the MXU (~1.2x faster "
+                        "on TPU v5e; measured fidelity in BASELINE.md).")
     p.add_argument("--random-init", action="store_true", help=argparse.SUPPRESS)
 
 
@@ -115,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
                 batch_size=args.batch_size,
                 visualize=args.visualize,
                 random_init=args.random_init,
+                quant_int8=args.int8,
             )
         return 0
 

@@ -111,6 +111,33 @@ def _scaled_resize_matrix(in_size: int, out_size: int, scale: float) -> jnp.ndar
     return jnp.asarray(mat, dtype=jnp.float32)
 
 
+def _int8_quant(x: jnp.ndarray, axis) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 quantization over the contraction axis/axes.
+
+    Returns ``(values int8, scale f32 with `axis` kept as size-1)`` such
+    that ``values · scale ≈ x``. Used by the opt-in w8a8 extraction mode:
+    the v5e MXU runs int8×int8→int32 at ~1.5× its bf16 rate (measured
+    269 vs 182 T/s on the MLP shape, tools/mxu_probe.py), so the four
+    projection matmuls — the ≥81%-MXU ops that dominate the extractor —
+    quantize per-token (activations) / per-output-channel (weights) on
+    the fly. The flash-attention kernel, LayerNorms, and the residual
+    stream stay bf16/f32."""
+    ax = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(ax), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(ax / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def _qeinsum(spec: str, x, w, sx, sw, out_sx, out_sw, dtype):
+    """int8 einsum + f32 dequantization epilogue → ``dtype``.
+
+    ``out_sx``/``out_sw`` reshape the kept activation/weight scales to
+    broadcast against the einsum output."""
+    out = jnp.einsum(spec, x, w, preferred_element_type=jnp.int32)
+    return (out.astype(jnp.float32) * out_sx(sx) * out_sw(sw)).astype(dtype)
+
+
 class _ProjParams(nn.Module):
     """Parameter holder with nn.Dense's exact tree layout ({kernel, bias}),
     so the flash path can use the weights in layout-folded einsums while the
@@ -144,6 +171,7 @@ class Attention(nn.Module):
     attention_fn: Callable | None = None
     qkv_attention_fn: Callable | None = None
     pair_attention_fn: Callable | None = None
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -194,9 +222,31 @@ class Attention(nn.Module):
             # tiles (as XLA adds they don't fuse into the einsums feeding
             # the pallas boundary and cost a full HBM pass each); the q
             # bias carries the same folded scale as the q weights
-            qp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 0] * fold)
-            kp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 1])
-            vp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 2])
+            if self.quant_int8:
+                # w8a8: one per-token quantization of the block input
+                # feeds all three qkv matmuls; per-(plane, lane) weight
+                # scales (the q plane's folded softmax scale rides inside
+                # its weight quantization). Biases still apply in-kernel
+                # at full precision.
+                xq, sx = _int8_quant(xp, axis=2)  # (B,N,C), (B,N,1)
+                osx = lambda s: s[:, None, :, :]  # (B,1,N,1)
+                osw = lambda s: s[:, :, None, :]  # (1,G,1,P)
+                planes = []
+                for i, wmat in enumerate(
+                    (w4[:, 0] * fold, w4[:, 1], w4[:, 2])
+                ):
+                    wq, sw = _int8_quant(wmat, axis=0)  # (C,G,P), (1,G,P)
+                    planes.append(
+                        _qeinsum(
+                            "bnc,cgp->bgnp", xq, wq, sx, sw, osx, osw,
+                            self.dtype,
+                        )
+                    )
+                qp, kp, vp = planes
+            else:
+                qp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 0] * fold)
+                kp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 1])
+                vp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 2])
             kv_bias = jnp.stack(
                 [b4[0][:, 0] * fold, b4[1][:, 0], b4[2][:, 0]]
             )  # (3, G, P)
@@ -206,6 +256,11 @@ class Attention(nn.Module):
                 true_len=n if n_pad != n else None,
                 kv_bias=kv_bias,
             )  # (B,G,Npad,P)
+            # the output projection stays bf16 even under quant_int8: its
+            # input is the full (B,G,N,P) attention output, and the
+            # per-token abs-max + round passes over it cost as much HBM
+            # time as the int8 matmul saves (measured wash, 60.2 both
+            # ways) — same reasoning as w3 in SwiGLUFFN
             out = jnp.einsum(
                 "bgnp,gpc->bnc", out[:, :, :n], w_proj.reshape(g, pair, c)
             )
@@ -246,14 +301,34 @@ class SwiGLUFFN(nn.Module):
 
     hidden: int
     dtype: Any = jnp.bfloat16
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x12 = nn.Dense(2 * self.hidden, dtype=self.dtype, name="w12")(x)
+        if not self.quant_int8:
+            x12 = nn.Dense(2 * self.hidden, dtype=self.dtype, name="w12")(x)
+            x1, x2 = jnp.split(x12, 2, axis=-1)
+            return nn.Dense(x.shape[-1], dtype=self.dtype, name="w3")(
+                nn.silu(x1) * x2
+            )
+        # w8a8 path — identical parameter tree to the nn.Dense layout
+        c = x.shape[-1]
+        w12, b12 = _ProjParams(c, 2 * self.hidden, name="w12")()
+        w3, b3 = _ProjParams(self.hidden, c, name="w3")()
+        xq, sx = _int8_quant(x, axis=-1)  # (B,N,C), (B,N,1)
+        wq, sw = _int8_quant(w12, axis=0)  # (1, 2H)
+        x12 = _qeinsum(
+            "bnc,ch->bnh", xq, wq, sx, sw, lambda s: s, lambda s: s,
+            self.dtype,
+        ) + b12.astype(self.dtype)
         x1, x2 = jnp.split(x12, 2, axis=-1)
-        return nn.Dense(x.shape[-1], dtype=self.dtype, name="w3")(
-            nn.silu(x1) * x2
-        )
+        hmid = nn.silu(x1) * x2
+        # w3 stays bf16: quantizing it requires a per-token abs-max +
+        # round pass over the (B,N,hidden) product — the largest
+        # activation in the block — whose HBM cost (~1.7 ms/block
+        # measured) cancels the int8 matmul saving. Strictly better in
+        # fidelity at the same speed.
+        return hmid @ w3.astype(self.dtype) + b3.astype(self.dtype)
 
 
 class Block(nn.Module):
@@ -267,6 +342,7 @@ class Block(nn.Module):
     qkv_attention_fn: Callable | None = None
     pair_attention_fn: Callable | None = None
     residual_dtype: Any = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -282,13 +358,15 @@ class Block(nn.Module):
         h = Attention(
             self.num_heads, dtype=self.dtype, attention_fn=self.attention_fn,
             qkv_attention_fn=self.qkv_attention_fn,
-            pair_attention_fn=self.pair_attention_fn, name="attn",
+            pair_attention_fn=self.pair_attention_fn,
+            quant_int8=self.quant_int8, name="attn",
         )(h.astype(self.dtype))
         x = x + (h * ls1.astype(rdtype)).astype(rdtype)
         h = nn.LayerNorm(epsilon=self.eps, dtype=rdtype, name="norm2")(x)
-        h = SwiGLUFFN(self.ffn_hidden, dtype=self.dtype, name="mlp")(
-            h.astype(self.dtype)
-        )
+        h = SwiGLUFFN(
+            self.ffn_hidden, dtype=self.dtype, quant_int8=self.quant_int8,
+            name="mlp",
+        )(h.astype(self.dtype))
         return x + (h * ls2.astype(rdtype)).astype(rdtype)
 
 
@@ -319,6 +397,7 @@ class DinoV2(nn.Module):
     pair_attention_fn: Callable | None = None
     scan_blocks: bool = False
     residual_dtype: Any = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -380,6 +459,7 @@ class DinoV2(nn.Module):
                 qkv_attention_fn=self.qkv_attention_fn,
                 pair_attention_fn=self.pair_attention_fn,
                 residual_dtype=self.residual_dtype,
+                quant_int8=self.quant_int8,
                 name="blocks",
             )
             tokens, _ = block(tokens, None)
@@ -394,6 +474,7 @@ class DinoV2(nn.Module):
                     qkv_attention_fn=self.qkv_attention_fn,
                     pair_attention_fn=self.pair_attention_fn,
                     residual_dtype=self.residual_dtype,
+                    quant_int8=self.quant_int8,
                     name=f"block{i}",
                 )(tokens)
 
@@ -497,6 +578,7 @@ def make_dinov2(
     scan_blocks: bool | None = None,
     pair_heads: bool | None = None,
     residual_dtype: Any = None,
+    quant_int8: bool = False,
 ) -> DinoV2:
     """Build the extractor module, selecting the attention kernel.
 
@@ -538,4 +620,5 @@ def make_dinov2(
         pair_attention_fn=pair_attention_fn,
         scan_blocks=scan_blocks,
         residual_dtype=residual_dtype,
+        quant_int8=quant_int8,
     )

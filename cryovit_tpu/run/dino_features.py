@@ -83,9 +83,16 @@ class DinoExtractor:
         batch_size: int = 128,
         mesh=None,
         use_flash_attention: bool | None = None,
+        quant_int8: bool = False,
     ) -> None:
         self.cfg = cfg or DinoV2Config.giant()
-        self.module = make_dinov2(self.cfg, use_flash_attention=use_flash_attention)
+        # quant_int8: opt-in w8a8 projections on the MXU (~1.2× end-to-end
+        # on v5e, measured fidelity in BASELINE.md); the official/default
+        # path stays bf16
+        self.module = make_dinov2(
+            self.cfg, use_flash_attention=use_flash_attention,
+            quant_int8=quant_int8,
+        )
         self.batch_size = batch_size
         self.mesh = mesh
         self.sharding = batch_sharding(mesh) if mesh is not None else None
@@ -209,6 +216,7 @@ def run_dino(
     visualize: bool = False,
     random_init: bool = False,
     dino_cfg: DinoV2Config | None = None,
+    quant_int8: bool = False,
 ) -> list[Path]:
     """Extract features for explicit tomogram files → ``result_dir/<stem>.hdf``
     (reference ``run_dino:210-298``)."""
@@ -227,7 +235,9 @@ def run_dino(
     variables, _ = load_dinov2_variables(
         cfg.model_dir, random_init=random_init, cfg=dino_cfg
     )
-    extractor = DinoExtractor(variables, cfg=dino_cfg, batch_size=batch_size)
+    extractor = DinoExtractor(
+        variables, cfg=dino_cfg, batch_size=batch_size, quant_int8=quant_int8
+    )
 
     files = [FileData(tomo_path=Path(f)) for f in train_data]
     dataset = FileDataset(files, input_key=None, label_key=None, for_dino=True)
@@ -275,7 +285,10 @@ def run_trainer(cfg: DotDict, dino_cfg: DinoV2Config | None = None) -> None:
     variables, _ = load_dinov2_variables(
         cfg.model_dir, random_init=bool(cfg.get("random_init", False)), cfg=dino_cfg
     )
-    extractor = DinoExtractor(variables, cfg=dino_cfg, batch_size=int(cfg.batch_size))
+    extractor = DinoExtractor(
+        variables, cfg=dino_cfg, batch_size=int(cfg.batch_size),
+        quant_int8=bool(cfg.get("quant_int8", False)),
+    )
 
     for sample in sample_names:
         tomo_dir = src_dir / sample

@@ -159,6 +159,75 @@ def test_dinov2_pair_path_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def _randomize(variables, rng, scale=0.1):
+    """Non-trivial params for fidelity tests: fresh-init LayerScale gammas
+    (1e-5) round block outputs out of the bf16 residual stream entirely,
+    making any output comparison vacuous."""
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    out = [
+        jnp.asarray(rng.standard_normal(leaf.shape) * scale, leaf.dtype)
+        for leaf in leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def test_dinov2_int8_fidelity(rng):
+    """Opt-in w8a8 mode (``quant_int8=True``): int8 projection matmuls with
+    per-token activation / per-channel weight scales stay close to the bf16
+    reference on the XLA attention path."""
+    from cryovit_tpu.models.dinov2 import make_dinov2
+
+    cfg = DinoV2Config.tiny_test()
+    x = jnp.asarray(rng.standard_normal((2, 3 * 14, 2 * 14)), dtype=jnp.float32)
+    m_bf = make_dinov2(cfg, use_flash_attention=False)
+    variables = _randomize(m_bf.init(jax.random.key(0), x), rng)
+    y_bf = np.asarray(m_bf.apply(variables, x), np.float32)
+    m_q = make_dinov2(cfg, use_flash_attention=False, quant_int8=True)
+    y_q = np.asarray(m_q.apply(variables, x), np.float32)
+    assert not np.array_equal(y_q, y_bf), "int8 path did not activate"
+    cos = float(
+        (y_q.ravel() @ y_bf.ravel())
+        / (np.linalg.norm(y_q) * np.linalg.norm(y_bf) + 1e-12)
+    )
+    assert cos > 0.999, f"cosine {cos}"
+    rel_rms = float(
+        np.linalg.norm(y_q - y_bf) / (np.linalg.norm(y_bf) + 1e-12)
+    )
+    assert rel_rms < 0.05, f"relative RMS {rel_rms}"
+
+
+def test_dinov2_int8_pair_path(rng):
+    """w8a8 on the pair-packed production path (qkv einsums also quantized,
+    q softmax scale folded into the q weight quantization) tracks the bf16
+    pair-path output."""
+    from functools import partial
+
+    from cryovit_tpu.models.dinov2 import make_dinov2
+    from cryovit_tpu.ops.flash_attention import flash_attention_pairs
+
+    cfg = DinoV2Config.tiny_test()
+    x = jnp.asarray(rng.standard_normal((2, 3 * 14, 2 * 14)), dtype=jnp.float32)
+    m_bf = make_dinov2(cfg, use_flash_attention=False)
+    variables = _randomize(m_bf.init(jax.random.key(0), x), rng)
+    y_bf = np.asarray(m_bf.apply(variables, x), np.float32)
+
+    pair_fn = partial(flash_attention_pairs, interpret=True)
+    m_q = DinoV2(
+        cfg=cfg, pair_attention_fn=pair_fn, quant_int8=True,
+        residual_dtype=jnp.bfloat16,
+    )
+    y_q = np.asarray(m_q.apply(variables, x), np.float32)
+    cos = float(
+        (y_q.ravel() @ y_bf.ravel())
+        / (np.linalg.norm(y_q) * np.linalg.norm(y_bf) + 1e-12)
+    )
+    assert cos > 0.999, f"cosine {cos}"
+    rel_rms = float(
+        np.linalg.norm(y_q - y_bf) / (np.linalg.norm(y_bf) + 1e-12)
+    )
+    assert rel_rms < 0.06, f"relative RMS {rel_rms}"
+
+
 def test_attention_reference_matches_torch(rng):
     b, n, h, d = 1, 37, 2, 16
     q = rng.standard_normal((b, n, h, d)).astype(np.float32)
