@@ -76,6 +76,9 @@ def _add_infer(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--fused", action="store_true",
                    help="Run the fused DINOv2+decoder pipeline directly on raw "
                         "tomograms (CryoVIT models; no feature files needed).")
+    p.add_argument("--int8", action="store_true",
+                   help="With --fused: w8a8 backbone projections "
+                        "(see features --int8).")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -183,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
             result_dir=Path(args.result_folder or "."),
             threshold=args.threshold,
             fused=args.fused,
+            quant_int8=args.int8,
         )
         print(f"wrote {len(written)} segmentations")
         return 0

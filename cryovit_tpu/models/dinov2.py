@@ -205,66 +205,64 @@ class Attention(nn.Module):
             # second-to-minor dim everywhere, so 16-alignment suffices
             n_pad = -(-n // 16) * 16
             xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
-            w4 = w_qkv.reshape(c, 3, g, pair)
-            b4 = b_qkv.reshape(3, g, 1, pair)
-            # one einsum per plane, each writing its pallas input buffer
-            # directly with bias (and, for q, the softmax scale ·log2 e at
-            # bf16 — the kernel then uses a bf16 exp2) folded into the
-            # matmul epilogue: a stacked (3,...) einsum forces XLA to
-            # materialize slice+scale copies at the kernel boundary
-            # (measured ~147 ms/batch of pure copies)
+            # each of q/k/v is ONE plain (B·N, C)·(C, C) matmul whose
+            # NATURAL output layout (B, N, C) is exactly what the
+            # channel-major kernel consumes — the plane axis is a grid
+            # dimension over lane-aligned column tiles, so NO transpose
+            # exists anywhere on the attention path. (The former
+            # (B,G,N,P) plane layout forced XLA to materialize the
+            # (B,N,G,P)→(B,G,N,P) transpose of each projection output:
+            # 0.91 ms × 3 per block = 110 ms/batch of pure copies.)
+            # The q weights carry the softmax scale (·log2 e at bf16 —
+            # the kernel then uses a bf16 exp2) folded in; torch qkv
+            # column order is [q|k|v] with head-major columns, so plane
+            # g's lanes are columns g·128..(g+1)·128 of each third.
             exp2_bf16 = self.dtype == jnp.bfloat16
             fold = jnp.asarray(
                 head_dim**-0.5 * (1.4426950408889634 if exp2_bf16 else 1.0),
                 dtype=self.dtype,
             )
+            wq3 = (w_qkv[:, :c] * fold, w_qkv[:, c : 2 * c], w_qkv[:, 2 * c :])
             # q/k/v biases ride into the kernel and apply on the VMEM
             # tiles (as XLA adds they don't fuse into the einsums feeding
             # the pallas boundary and cost a full HBM pass each); the q
             # bias carries the same folded scale as the q weights
             if self.quant_int8:
                 # w8a8: one per-token quantization of the block input
-                # feeds all three qkv matmuls; per-(plane, lane) weight
-                # scales (the q plane's folded softmax scale rides inside
+                # feeds all three qkv matmuls; per-output-channel weight
+                # scales (the q third's folded softmax scale rides inside
                 # its weight quantization). Biases still apply in-kernel
                 # at full precision.
                 xq, sx = _int8_quant(xp, axis=2)  # (B,N,C), (B,N,1)
-                osx = lambda s: s[:, None, :, :]  # (B,1,N,1)
-                osw = lambda s: s[:, :, None, :]  # (1,G,1,P)
-                planes = []
-                for i, wmat in enumerate(
-                    (w4[:, 0] * fold, w4[:, 1], w4[:, 2])
-                ):
-                    wq, sw = _int8_quant(wmat, axis=0)  # (C,G,P), (1,G,P)
-                    planes.append(
-                        _qeinsum(
-                            "bnc,cgp->bgnp", xq, wq, sx, sw, osx, osw,
-                            self.dtype,
-                        )
+                ident = lambda s: s
+
+                def _qproj(wmat):
+                    wq, sw = _int8_quant(wmat, axis=0)  # (C,C), (1,C)
+                    return _qeinsum(
+                        "bnc,cd->bnd", xq, wq, sx, sw, ident, ident,
+                        self.dtype,
                     )
-                qp, kp, vp = planes
+
+                qp, kp, vp = (_qproj(wmat) for wmat in wq3)
             else:
-                qp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 0] * fold)
-                kp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 1])
-                vp = jnp.einsum("bnc,cgp->bgnp", xp, w4[:, 2])
-            kv_bias = jnp.stack(
-                [b4[0][:, 0] * fold, b4[1][:, 0], b4[2][:, 0]]
-            )  # (3, G, P)
+                qp, kp, vp = (xp @ wmat for wmat in wq3)
+            b4 = b_qkv.reshape(3, g, pair)
+            kv_bias = jnp.stack([b4[0] * fold, b4[1], b4[2]])  # (3, G, P)
             out = self.pair_attention_fn(
                 qp, kp, vp,
                 pre_scaled=True, exp2_bf16=exp2_bf16,
                 true_len=n if n_pad != n else None,
                 kv_bias=kv_bias,
-            )  # (B,G,Npad,P)
-            # the output projection stays bf16 even under quant_int8: its
-            # input is the full (B,G,N,P) attention output, and the
-            # per-token abs-max + round passes over it cost as much HBM
-            # time as the int8 matmul saves (measured wash, 60.2 both
-            # ways) — same reasoning as w3 in SwiGLUFFN
-            out = jnp.einsum(
-                "bgnp,gpc->bnc", out[:, :, :n], w_proj.reshape(g, pair, c)
-            )
-            return out + b_proj
+                channel_major=True,
+                plane_width=pair,
+            )  # (B, Npad→N, C)
+            # the output projection is ONE untransposed (B·N, C)·(C, C)
+            # matmul straight off the kernel output. It stays bf16 even
+            # under quant_int8: its input is the full attention output,
+            # and the per-token abs-max + round passes over it cost as
+            # much HBM time as the int8 matmul saves (measured wash,
+            # 60.2 both ways) — same reasoning as w3 in SwiGLUFFN
+            return out[:, :n] @ w_proj + b_proj
 
         if self.qkv_attention_fn is not None:
             # qkv projection emits head-major planes directly: the MXU

@@ -43,9 +43,12 @@ class FusedDinoCryoVIT:
         dino_cfg: DinoV2Config | None = None,
         dtype=jnp.bfloat16,
         slice_batch: int = 64,
+        quant_int8: bool = False,
     ) -> None:
         self.dino_cfg = dino_cfg or DinoV2Config.giant()
-        self.backbone = make_dinov2(self.dino_cfg, dtype=dtype)
+        self.backbone = make_dinov2(
+            self.dino_cfg, dtype=dtype, quant_int8=quant_int8
+        )
         self.decoder = CryoVITModule(dtype=dtype)
         self.dino_variables = dino_variables
         self.decoder_variables = decoder_variables

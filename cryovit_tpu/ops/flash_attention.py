@@ -236,6 +236,7 @@ def _flash_kernel_paired(
     q_chunks: int = 1,
     softmax_shift: bool = True,
     ablate: str = "",
+    channel_major: bool = False,
 ):
     """Flash kernel over PAIR-PACKED planes: the block minor dim holds two
     64-wide heads side by side (lane dim 128 → full-width VMEM tiles and
@@ -272,13 +273,10 @@ def _flash_kernel_paired(
     # row broadcasts) — as standalone XLA adds they each cost a full HBM
     # read+write pass of the plane (measured 24 ms/batch apiece); the q
     # bias arrives pre-multiplied by the folded softmax scale
-    q = q_ref[0] + bias_ref[0, 0:1]  # (BQ, 2·D) two heads packed on lanes
-    block_q = q.shape[0]
+    block_q = q_ref.shape[1]
     kv_pad = k_ref.shape[1]
     num_kb = kv_pad // block_k
     d = head_dim
-    kbias = bias_ref[0, 1:2]  # (1, P)
-    vbias = bias_ref[0, 2:3]
 
     p_dtype = v_ref.dtype  # bf16 in production; f32 paths stay exact
 
@@ -361,14 +359,23 @@ def _flash_kernel_paired(
         # tools/mxu_probe.py / memory: per-dot fixed cost dominates, but
         # Mosaic prices the d=64 and d=128 contractions the same, so the
         # saved dots are repaid by the 2× score width.)
-        n_planes = q_ref.shape[0]
+        # channel_major: blocks are (1, rows, n_planes·P) lane-packed —
+        # plane plx lives on lanes [plx·P, (plx+1)·P) (the natural layout
+        # of the qkv projection output, see ``flash_attention_pairs``)
+        if channel_major:
+            pw = 2 * d
+            n_planes = q_ref.shape[-1] // pw
+            plane = lambda ref, plx: ref[0][:, plx * pw : (plx + 1) * pw]
+        else:
+            n_planes = q_ref.shape[0]
+            plane = lambda ref, plx: ref[plx]
         K_H, Q_H, V_A = [], [], []
         for plx in range(n_planes):
-            qp = q_ref[plx] + bias_ref[plx, 0:1]
-            kbp = k_ref[plx] + bias_ref[plx, 1:2]
+            qp = plane(q_ref, plx) + bias_ref[plx, 0:1]
+            kbp = plane(k_ref, plx) + bias_ref[plx, 1:2]
             if masked:
                 kbp = kbp * padm.astype(jnp.float32)
-            vbp = v_ref[plx] + bias_ref[plx, 2:3]
+            vbp = plane(v_ref, plx) + bias_ref[plx, 2:3]
             Q_H.append([qp[:, :d], qp[:, d:]])
             K_H.append([kbp[:, :d], kbp[:, d:]])
             V_A.append([make_vaug(vbp, h, padm) for h in (0, 1)])
@@ -428,9 +435,19 @@ def _flash_kernel_paired(
                     ],
                     axis=-1,
                 )
-                o_ref[plx, i * ch : (i + 1) * ch, :] = out.astype(o_ref.dtype)
+                rows = pl.ds(i * ch, ch)
+                if channel_major:
+                    o_ref[0, rows, plx * 2 * d : (plx + 1) * 2 * d] = out.astype(
+                        o_ref.dtype
+                    )
+                else:
+                    o_ref[plx, rows, :] = out.astype(o_ref.dtype)
         return
 
+    # multi-K-block online-softmax path (pb is forced to 1 here)
+    q = q_ref[0] + bias_ref[0, 0:1]  # (BQ, 2·D) two heads packed on lanes
+    kbias = bias_ref[0, 1:2]  # (1, P)
+    vbias = bias_ref[0, 2:3]
     m0 = jnp.full((2, block_q), NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((2, block_q), dtype=jnp.float32)
     acc0 = jnp.zeros((block_q, 2 * d), dtype=jnp.float32)
@@ -480,6 +497,7 @@ def _flash_kernel_paired(
     static_argnames=(
         "block_q", "block_k", "interpret", "pre_scaled", "exp2_bf16",
         "true_len", "q_chunks", "softmax_shift", "ablate", "planes_per_block",
+        "channel_major", "plane_width",
     ),
 )
 def flash_attention_pairs(
@@ -497,6 +515,8 @@ def flash_attention_pairs(
     softmax_shift: bool = True,
     ablate: str = "",
     planes_per_block: int = 1,
+    channel_major: bool = False,
+    plane_width: int = 128,
 ) -> jnp.ndarray:
     """Flash attention on pair-packed ``(B, H/2, N, 2·D)`` planes → same
     layout. Plane ``g`` holds heads ``2g`` (lanes ``0:D``) and ``2g+1``
@@ -508,8 +528,22 @@ def flash_attention_pairs(
     the qkv projection writes 128-wide planes, the kernel streams
     128-wide K/V, and the output projection contracts over a contiguous
     (H/2)·128 = 1536 axis.
-    """
-    b, g, n, p = q.shape
+
+    ``channel_major=True`` takes q/k/v as ``(B, N, H·D)`` — the NATURAL
+    output layout of the qkv projection matmul (plane ``g`` on lanes
+    ``[g·2D, (g+1)·2D)``) — and returns the same layout. The plane axis
+    becomes a grid dimension indexing lane-aligned column tiles, so the
+    whole attention path runs with ZERO transposes: the (B,G,N,2D)
+    layout forced XLA to materialize a (B·N, H·D)→(B,G,N,2D) transpose
+    copy per qkv einsum (measured 0.91 ms × 3 per block = 110 ms/batch,
+    6% of extraction) and the mirrored transpose feeding the output
+    projection."""
+    if channel_major:
+        b, n, cdim = q.shape
+        p = plane_width  # pair-plane width (two heads on shared lanes)
+        g = cdim // p
+    else:
+        b, g, n, p = q.shape
     d = p // 2
     # contract: pre_scaled means the caller folded the softmax scale — and,
     # with exp2_bf16, also LOG2E — into q (fused into its producing matmul)
@@ -562,7 +596,8 @@ def flash_attention_pairs(
     nk = _round_up(n, block_k)
 
     def prep(x, length):
-        x = x.reshape(b * g, n, p)
+        if not channel_major:
+            x = x.reshape(b * g, n, p)
         if length != n:
             x = jnp.pad(x, ((0, 0), (0, length - n), (0, 0)))
         return x
@@ -582,20 +617,70 @@ def flash_attention_pairs(
     pb = planes_per_block
     if pb > 1 and not (nk == block_k and (b * g) % pb == 0 and g % pb == 0):
         pb = 1
+    kern = functools.partial(
+        _flash_kernel_paired,
+        block_k=block_k,
+        kv_len=kv_len,
+        scale=scale,
+        head_dim=d,
+        exp2_bf16=exp2_bf16,
+        q_chunks=q_chunks,
+        softmax_shift=softmax_shift,
+        ablate=ablate,
+        channel_major=channel_major,
+    )
+    if channel_major:
+        # grid dims: (batch, plane group, q block) — q blocks iterate
+        # fastest so each plane group's K/V block stays resident across
+        # them. Plane blocks are lane-aligned COLUMN tiles of the natural
+        # (B, N, G·P) projection output: a (1, rows, pb·P) block at column
+        # g·P is a strided whole-tile DMA (2 KB contiguous runs), which
+        # the DMA engines handle at full rate — no transposes anywhere.
+        grid = (b, g // pb, nq // block_q)
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, block_q, pb * p),
+                    lambda bi, gi, qi: (bi, qi, gi),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, nk, pb * p),
+                    lambda bi, gi, qi: (bi, 0, gi),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, nk, pb * p),
+                    lambda bi, gi, qi: (bi, 0, gi),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (pb, 3, p),
+                    lambda bi, gi, qi: (gi, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, pb * p),
+                lambda bi, gi, qi: (bi, qi, gi),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, nq, g * p), q.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * g * 2 * n * n * d,
+                bytes_accessed=(qf.size + kf.size + vf.size + b * nq * g * p)
+                * 2,
+                transcendentals=b * g * 2 * n * n,
+            ),
+        )(qf, kf, vf, bias)
+        return out[:, :n]
     grid = ((b * g) // pb, nq // block_q)
     g_blocks = g // pb
     out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel_paired,
-            block_k=block_k,
-            kv_len=kv_len,
-            scale=scale,
-            head_dim=d,
-            exp2_bf16=exp2_bf16,
-            q_chunks=q_chunks,
-            softmax_shift=softmax_shift,
-            ablate=ablate,
-        ),
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(

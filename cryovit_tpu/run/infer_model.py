@@ -21,6 +21,7 @@ def run_inference(
     result_dir: Path,
     threshold: float = 0.5,
     fused: bool = False,
+    quant_int8: bool = False,
     **overrides: object,
 ) -> list[Path]:
     """Segment tomograms with a ``.model`` artifact → thresholded uint8
@@ -38,9 +39,15 @@ def run_inference(
                 f"config overrides are not supported with fused=True: {overrides}"
             )
         return _run_fused_inference(
-            data, model, variables, label_key, result_dir, threshold
+            data, model, variables, label_key, result_dir, threshold,
+            quant_int8=quant_int8,
         )
 
+    if quant_int8:
+        raise ValueError(
+            "quant_int8 applies to the DINOv2 backbone and requires "
+            "fused=True (file-based inference reads precomputed features)"
+        )
     ov = [
         f"model={model_type.value}",
         f"label_key={label_key}",
@@ -68,6 +75,7 @@ def _run_fused_inference(
     threshold: float,
     dino_cfg=None,
     dino_variables=None,
+    quant_int8: bool = False,
 ) -> list[Path]:
     """Raw tomograms → fused ViT+decoder → thresholded segmentations."""
     import numpy as np
@@ -89,7 +97,8 @@ def _run_fused_inference(
         cfg = compose("dino_features")
         dino_variables, _ = load_dinov2_variables(cfg.model_dir, cfg=dino_cfg)
     fused = FusedDinoCryoVIT(
-        dino_variables, decoder_variables, dino_cfg=dino_cfg
+        dino_variables, decoder_variables, dino_cfg=dino_cfg,
+        quant_int8=quant_int8,
     )
     writer = PredictionWriter(
         results_dir=result_dir, label_key=label_key, threshold=threshold

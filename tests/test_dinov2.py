@@ -95,6 +95,79 @@ def test_flash_attention_pairs_multi_plane(rng):
     np.testing.assert_allclose(np.asarray(odd), np.asarray(base), atol=2e-6)
 
 
+def test_flash_attention_pairs_channel_major(rng):
+    """``channel_major=True`` — q/k/v in the projection matmuls' natural
+    ``(B, N, H·D)`` layout (the zero-transpose production path) — is
+    bit-identical to the plane-major layout across: the plain path, key
+    padding + in-kernel biases, multi-plane programs, and the chunked
+    long-sequence path."""
+    from cryovit_tpu.ops.flash_attention import flash_attention_pairs
+
+    b, g, n, p = 2, 3, 190, 128
+    mk = lambda: jnp.asarray(rng.standard_normal((b, g, n, p)), jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    to_cm = lambda x: jnp.moveaxis(x, 1, 2).reshape(x.shape[0], x.shape[2], -1)
+    from_cm = lambda x: jnp.moveaxis(x.reshape(b, -1, g, p), 2, 1)
+
+    base = flash_attention_pairs(q, k, v, interpret=True)
+    cm = flash_attention_pairs(
+        to_cm(q), to_cm(k), to_cm(v), interpret=True, channel_major=True
+    )
+    np.testing.assert_array_equal(np.asarray(from_cm(cm)), np.asarray(base))
+
+    # padded keys + per-plane kernel biases
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, 0), (0, 2), (0, 0)))
+    bias = jnp.asarray(rng.standard_normal((3, g, p)) * 0.1, jnp.float32)
+    base_m = flash_attention_pairs(
+        pad(q), pad(k), pad(v), interpret=True, true_len=n, kv_bias=bias
+    )
+    cm_m = flash_attention_pairs(
+        to_cm(pad(q)), to_cm(pad(k)), to_cm(pad(v)),
+        interpret=True, true_len=n, kv_bias=bias, channel_major=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(from_cm(cm_m))[:, :, :n], np.asarray(base_m)[:, :, :n]
+    )
+
+    # lane-packed multi-plane programs
+    cm_pb = flash_attention_pairs(
+        to_cm(q), to_cm(k), to_cm(v),
+        interpret=True, channel_major=True, planes_per_block=3,
+    )
+    np.testing.assert_array_equal(np.asarray(from_cm(cm_pb)), np.asarray(base))
+
+    # chunked long-sequence path (>1280 tokens)
+    nl = 1500
+    mkl = lambda: jnp.asarray(
+        rng.standard_normal((1, 2, nl, p)), jnp.float32
+    )
+    ql, kl, vl = mkl(), mkl(), mkl()
+    to_cml = lambda x: jnp.moveaxis(x, 1, 2).reshape(1, nl, -1)
+    base_l = flash_attention_pairs(ql, kl, vl, interpret=True)
+    cm_l = flash_attention_pairs(
+        to_cml(ql), to_cml(kl), to_cml(vl), interpret=True, channel_major=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(cm_l.reshape(1, nl, 2, p), 2, 1)),
+        np.asarray(base_l),
+    )
+
+    # non-128 plane widths (tiny-config models)
+    ps = 32
+    mks = lambda: jnp.asarray(rng.standard_normal((b, g, n, ps)), jnp.float32)
+    qs, ks, vs = mks(), mks(), mks()
+    to_cms = lambda x: jnp.moveaxis(x, 1, 2).reshape(b, n, -1)
+    base_s = flash_attention_pairs(qs, ks, vs, interpret=True)
+    cm_s = flash_attention_pairs(
+        to_cms(qs), to_cms(ks), to_cms(vs),
+        interpret=True, channel_major=True, plane_width=ps,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jnp.moveaxis(cm_s.reshape(b, n, g, ps), 2, 1)),
+        np.asarray(base_s),
+    )
+
+
 def test_best_block_chunked_invariants():
     """The joint (block_q, q_chunks) chooser must always return a block the
     kernel accepts: chunks divide the block into 16-aligned rows within the
