@@ -52,7 +52,7 @@ def _extra_shapes(extractor, jnp, np) -> None:
         return rate
 
     print("extra shapes:", file=sys.stderr)
-    run(16, 1024, 1024)  # 4.2k tokens/slice — exercises the n>1280 block path
+    run(24, 1024, 1024)  # 4.2k tokens/slice — exercises the n>1280 block path
     run(32, 768, 512)  # non-square
     # multi-bucket: alternate shapes through one extractor (compile reuse)
     rng = np.random.default_rng(2)

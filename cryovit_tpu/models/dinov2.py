@@ -201,9 +201,15 @@ class Attention(nn.Module):
             # ~3.7 ms/block of pure copies otherwise). Padded keys are
             # masked in-kernel via true_len; padded query rows fall out of
             # the sliced output read below.
-            # 16 = the bf16 sublane tile height — the token axis is the
-            # second-to-minor dim everywhere, so 16-alignment suffices
-            n_pad = -(-n // 16) * 16
+            # pad to the kernel's preferred query quantum (the 16-row bf16
+            # sublane tile for ≤1280 tokens; the auto-chosen q-block
+            # multiple beyond — e.g. 4101 → 4160): pad rows ride the
+            # projection matmuls fused/free, where padding the matmul
+            # OUTPUT at the pallas boundary cost a materialized 24 ms/step
+            # at 1024² slices
+            from cryovit_tpu.ops.flash_attention import preferred_len
+
+            n_pad = preferred_len(n)
             xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
             # each of q/k/v is ONE plain (B·N, C)·(C, C) matmul whose
             # NATURAL output layout (B, N, C) is exactly what the

@@ -492,6 +492,35 @@ def _flash_kernel_paired(
     o_ref[0] = (acc * inv).astype(o_ref.dtype)
 
 
+def _auto_blocks(n: int) -> tuple[int, int, int]:
+    """The wrapper's auto (block_q, block_k, q_chunks) choice for ``n``
+    tokens — exposed so callers can query it (see :func:`preferred_len`)."""
+    nk_full = _round_up(n, 16)
+    ch_cap = max(16, min(320, (4_500_000 // (nk_full * 6)) // 16 * 16))
+    if n <= 1280:
+        bq, bk = _round_up(n, 16), nk_full
+        qc = _pick_q_chunks(bq, ch_cap)
+    elif ch_cap >= 128:
+        bq, qc = _best_block_chunked(n, ch_cap)
+        bk = nk_full
+    else:
+        bq, bk = _best_block(n), _best_block(n)
+        qc = 1
+    return bq, bk, qc
+
+
+def preferred_len(n: int) -> int:
+    """Token length the auto-chosen kernel grid actually processes
+    (``n`` rounded up to the query-block quantum). Callers that pad
+    their token axis to THIS length before the qkv projection make the
+    wrapper's q-pad a no-op: the pad rows ride the projection matmul
+    (fused, near-free) instead of a materialized pad of the matmul
+    output at the pallas boundary (measured 24 ms/step at 4101 tokens:
+    40 blocks × a (16, 4160, 1536) bf16 write)."""
+    bq, _, _ = _auto_blocks(n)
+    return _round_up(n, bq)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -559,24 +588,16 @@ def flash_attention_pairs(
     # For longer sequences pick the block size minimizing round-up waste
     # (e.g. 4101 tokens: 1040-blocks pad 1.4% where 512-blocks pad 12%).
     nk_full = _round_up(n, 16)
-    # VMEM cap on the per-chunk tiles: the pipeline keeps the NEXT chunk's
-    # f32 score tile live alongside the current bf16 numerator (~10B/elem),
-    # plus fixed K/V/bias buffers — so the budget is deliberately
-    # conservative (the 4112-token path measured 25MB scoped VMEM against
-    # the 16MB limit with a looser cap)
+    # VMEM cap on the per-chunk tiles (inside _auto_blocks): the pipeline
+    # keeps the NEXT chunk's f32 score tile live alongside the current
+    # bf16 numerator (~10B/elem), plus fixed K/V/bias buffers — so the
+    # budget is deliberately conservative (the 4112-token path measured
+    # 25MB scoped VMEM against the 16MB limit with a looser cap)
     ch_cap = max(16, min(320, (4_500_000 // (nk_full * 6)) // 16 * 16))
     if block_q is None or block_k is None:
         # prefer a single K block (static fast path, no online-softmax
         # correction state) whenever a ≥128-row chunk fits the budget
-        if n <= 1280:
-            bq_auto, bk_auto = _round_up(n, 16), nk_full
-            qc_auto = _pick_q_chunks(bq_auto, ch_cap)
-        elif ch_cap >= 128:
-            bq_auto, qc_auto = _best_block_chunked(n, ch_cap)
-            bk_auto = nk_full
-        else:
-            bq_auto, bk_auto = _best_block(n), _best_block(n)
-            qc_auto = 1
+        bq_auto, bk_auto, qc_auto = _auto_blocks(n)
         if block_q is None:
             block_q = bq_auto
             if q_chunks is None:
