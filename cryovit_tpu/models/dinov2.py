@@ -164,6 +164,11 @@ class Attention(nn.Module):
     absorbed into the projection matmul's output, and the inverse transpose
     into the output projection); ``attention_fn`` takes separate (q, k, v);
     neither → XLA einsum attention.
+
+    ``true_len``: when the CALLER already padded the token axis to the
+    kernel quantum (``DinoV2.__call__`` pads the whole block stack once so
+    every elementwise op sees 16-aligned tokens), the trailing rows are
+    phantom — this is the real token count used for key masking.
     """
 
     num_heads: int
@@ -172,6 +177,7 @@ class Attention(nn.Module):
     qkv_attention_fn: Callable | None = None
     pair_attention_fn: Callable | None = None
     quant_int8: bool = False
+    true_len: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -209,6 +215,7 @@ class Attention(nn.Module):
             # at 1024² slices
             from cryovit_tpu.ops.flash_attention import preferred_len
 
+            tl = self.true_len if self.true_len is not None else n
             n_pad = preferred_len(n)
             xp = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0))) if n_pad != n else x
             # each of q/k/v is ONE plain (B·N, C)·(C, C) matmul whose
@@ -257,7 +264,7 @@ class Attention(nn.Module):
             out = self.pair_attention_fn(
                 qp, kp, vp,
                 pre_scaled=True, exp2_bf16=exp2_bf16,
-                true_len=n if n_pad != n else None,
+                true_len=tl if tl != n_pad else None,
                 kv_bias=kv_bias,
                 channel_major=True,
                 plane_width=pair,
@@ -335,8 +342,45 @@ class SwiGLUFFN(nn.Module):
         return hmid @ w3.astype(self.dtype) + b3.astype(self.dtype)
 
 
+class _LNParams(nn.Module):
+    """LayerNorm affine params with ``nn.LayerNorm``'s exact tree layout
+    ({scale, bias}), so the fused Pallas path consumes raw vectors while
+    checkpoints/converters see one parameter format either way."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return scale, bias
+
+
+def _ln_apply(x, scale, bias, eps, dtype):
+    """flax ``nn.LayerNorm`` semantics (f32 statistics, fast variance)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(dtype)
+
+
 class Block(nn.Module):
-    """Pre-LN transformer block with LayerScale residuals."""
+    """Pre-LN transformer block with LayerScale residuals.
+
+    The call signature is a DEFERRED-residual carry ``(x, pending) →
+    (x, pending)``: ``pending`` is the previous block's LayerScale-scaled
+    FFN output, accumulated into the stream HERE — fused with this block's
+    first LayerNorm. With ``fused_ln_fn`` set (the TPU extractor path,
+    ``ops.fused_norm``) every residual-add + LayerNorm pair runs as ONE
+    Pallas pass over HBM (read x and the branch once, write the new stream
+    and the normalized tensor) instead of XLA's ~5–6 passes — the block's
+    elementwise glue was 132 ms per 64-slice ViT-g batch, the largest
+    non-matmul cost in the extractor profile (BASELINE.md). The math is
+    identical to the reference block (torch hub ``dinov2/layers/block.py``):
+    ``x + ls1·attn(LN1(x))`` then ``x + ls2·mlp(LN2(x))``, just with the
+    adds re-associated onto the consumer side of the scan.
+    """
 
     num_heads: int
     ffn_hidden: int
@@ -347,39 +391,55 @@ class Block(nn.Module):
     pair_attention_fn: Callable | None = None
     residual_dtype: Any = jnp.float32
     quant_int8: bool = False
+    fused_ln_fn: Callable | None = None
+    true_len: int | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, carry: tuple[jnp.ndarray, jnp.ndarray]
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        x, pending = carry
         dim = x.shape[-1]
         rdtype = self.residual_dtype
         ls1 = self.param("ls1_gamma", nn.initializers.constant(1e-5), (dim,))
         ls2 = self.param("ls2_gamma", nn.initializers.constant(1e-5), (dim,))
+        ln1_scale, ln1_bias = _LNParams(dim, name="norm1")()
+        ln2_scale, ln2_bias = _LNParams(dim, name="norm2")()
         # the residual stream carries `residual_dtype`: f32 by default;
         # bf16 halves the HBM traffic of every LN read and residual
-        # read-modify-write (LN statistics stay f32 inside flax either way)
-        x = x.astype(rdtype)
-        h = nn.LayerNorm(epsilon=self.eps, dtype=rdtype, name="norm1")(x)
+        # read-modify-write (LN statistics stay f32 either way)
+        if self.fused_ln_fn is not None:
+            x, h = self.fused_ln_fn(x, pending, None, ln1_scale, ln1_bias)
+        else:
+            x = (x.astype(rdtype) + pending.astype(rdtype)).astype(rdtype)
+            h = _ln_apply(x, ln1_scale, ln1_bias, self.eps, self.dtype)
         h = Attention(
             self.num_heads, dtype=self.dtype, attention_fn=self.attention_fn,
             qkv_attention_fn=self.qkv_attention_fn,
             pair_attention_fn=self.pair_attention_fn,
-            quant_int8=self.quant_int8, name="attn",
+            quant_int8=self.quant_int8, true_len=self.true_len, name="attn",
         )(h.astype(self.dtype))
-        x = x + (h * ls1.astype(rdtype)).astype(rdtype)
-        h = nn.LayerNorm(epsilon=self.eps, dtype=rdtype, name="norm2")(x)
+        if self.fused_ln_fn is not None:
+            x, h = self.fused_ln_fn(x, h, ls1, ln2_scale, ln2_bias)
+        else:
+            x = x + (h * ls1.astype(rdtype)).astype(rdtype)
+            h = _ln_apply(x, ln2_scale, ln2_bias, self.eps, self.dtype)
         h = SwiGLUFFN(
             self.ffn_hidden, dtype=self.dtype, quant_int8=self.quant_int8,
             name="mlp",
         )(h.astype(self.dtype))
-        return x + (h * ls2.astype(rdtype)).astype(rdtype)
+        # the ls2 multiply fuses into the FFN's last matmul epilogue; the
+        # ADD is deferred to the next block (or the post-stack flush),
+        # where it fuses with the next LayerNorm
+        return x, (h * ls2.astype(h.dtype)).astype(rdtype)
 
 
 class _ScanBlock(Block):
     """Block with a scan-compatible ``(carry, _) → (carry, None)`` signature."""
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, _unused=None):  # type: ignore[override]
-        return super().__call__(x), None
+    def __call__(self, carry, _unused=None):  # type: ignore[override]
+        return super().__call__(carry), None
 
 
 class DinoV2(nn.Module):
@@ -402,6 +462,9 @@ class DinoV2(nn.Module):
     scan_blocks: bool = False
     residual_dtype: Any = jnp.float32
     quant_int8: bool = False
+    # fused residual+LayerScale+LayerNorm op (ops.fused_norm signature);
+    # eps and the normalized-output dtype are bound by the model
+    fused_ln_fn: Callable | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -447,6 +510,39 @@ class DinoV2(nn.Module):
         # cast here so the scan carry type is invariant across blocks
         tokens = tokens.astype(self.residual_dtype)
 
+        # pad the TOKEN axis to the attention kernel's preferred quantum
+        # once for the whole stack (instead of per-block at the pallas
+        # boundary): every block-level elementwise op then sees a
+        # 16-aligned token count — the requirement for the fused
+        # residual+LN kernel — and the per-block pad/slice pair vanishes.
+        # Padded keys are masked in-kernel via true_len; padded rows are
+        # sliced off at the end.
+        n_tok = tokens.shape[1]
+        true_len = None
+        fused_ln_fn = None
+        if self.pair_attention_fn is not None:
+            from cryovit_tpu.ops.flash_attention import preferred_len
+
+            n_run = preferred_len(n_tok)
+            if n_run != n_tok:
+                tokens = jnp.pad(tokens, ((0, 0), (0, n_run - n_tok), (0, 0)))
+                true_len = n_tok
+        if self.fused_ln_fn is not None:
+            fused_ln_fn = partial(
+                self.fused_ln_fn, eps=cfg.layer_norm_eps, y_dtype=self.dtype
+            )
+
+        block_kwargs = dict(
+            dtype=self.dtype,
+            attention_fn=self.attention_fn,
+            qkv_attention_fn=self.qkv_attention_fn,
+            pair_attention_fn=self.pair_attention_fn,
+            residual_dtype=self.residual_dtype,
+            quant_int8=self.quant_int8,
+            fused_ln_fn=fused_ln_fn,
+            true_len=true_len,
+        )
+        carry = (tokens, jnp.zeros_like(tokens))
         if self.scan_blocks:
             block = nn.scan(
                 _ScanBlock,
@@ -458,34 +554,28 @@ class DinoV2(nn.Module):
                 cfg.num_heads,
                 cfg.ffn_hidden,
                 cfg.layer_norm_eps,
-                dtype=self.dtype,
-                attention_fn=self.attention_fn,
-                qkv_attention_fn=self.qkv_attention_fn,
-                pair_attention_fn=self.pair_attention_fn,
-                residual_dtype=self.residual_dtype,
-                quant_int8=self.quant_int8,
                 name="blocks",
+                **block_kwargs,
             )
-            tokens, _ = block(tokens, None)
+            carry, _ = block(carry, None)
         else:
             for i in range(cfg.depth):
-                tokens = Block(
+                carry = Block(
                     cfg.num_heads,
                     cfg.ffn_hidden,
                     cfg.layer_norm_eps,
-                    dtype=self.dtype,
-                    attention_fn=self.attention_fn,
-                    qkv_attention_fn=self.qkv_attention_fn,
-                    pair_attention_fn=self.pair_attention_fn,
-                    residual_dtype=self.residual_dtype,
-                    quant_int8=self.quant_int8,
                     name=f"block{i}",
-                )(tokens)
+                    **block_kwargs,
+                )(carry)
+        # flush the last block's deferred residual
+        tokens = (carry[0].astype(self.residual_dtype)
+                  + carry[1].astype(self.residual_dtype))
 
         tokens = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="norm"
         )(tokens)
-        return tokens[:, 1 + cfg.num_registers :].astype(jnp.float32)
+        patch0 = 1 + cfg.num_registers
+        return tokens[:, patch0 : patch0 + gh * gw].astype(jnp.float32)
 
 
 # ---- torch weight conversion ---------------------------------------------
@@ -583,6 +673,7 @@ def make_dinov2(
     pair_heads: bool | None = None,
     residual_dtype: Any = None,
     quant_int8: bool = False,
+    fused_ln: bool | None = None,
 ) -> DinoV2:
     """Build the extractor module, selecting the attention kernel.
 
@@ -617,6 +708,16 @@ def make_dinov2(
             pair_attention_fn = flash_attention_pairs
         else:
             qkv_attention_fn = flash_attention_bhnd
+    if fused_ln is None:
+        # the fused residual+LN kernel rides the same TPU gate as flash
+        # attention, and needs the model-level token padding that only the
+        # pair-packed path performs (16-aligned token counts)
+        fused_ln = bool(use_flash_attention and pair_heads)
+    fused_ln_fn = None
+    if fused_ln:
+        from cryovit_tpu.ops.fused_norm import residual_layernorm
+
+        fused_ln_fn = residual_layernorm
     return DinoV2(
         cfg=cfg,
         dtype=dtype,
@@ -625,4 +726,5 @@ def make_dinov2(
         scan_blocks=scan_blocks,
         residual_dtype=residual_dtype,
         quant_int8=quant_int8,
+        fused_ln_fn=fused_ln_fn,
     )

@@ -570,3 +570,89 @@ def test_flash_attention_bhnd_partial_final_block(rng):
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref), atol=2e-5
     )
+
+
+# ---- fused residual + LayerScale + LayerNorm ------------------------------
+
+def test_residual_layernorm_matches_reference(rng):
+    """Pallas fused op (interpret) == XLA oracle, with and without the
+    LayerScale gamma, for bf16 and f32 residual streams."""
+    from cryovit_tpu.ops.fused_norm import (
+        residual_layernorm,
+        residual_layernorm_reference,
+    )
+
+    b, n, c = 2, 64, 256
+    for rdt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((b, n, c)), dtype=rdt)
+        h = jnp.asarray(rng.standard_normal((b, n, c)), dtype=jnp.bfloat16)
+        gamma = jnp.asarray(rng.standard_normal((c,)) * 0.1, dtype=jnp.float32)
+        scale = jnp.asarray(1 + 0.1 * rng.standard_normal((c,)), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.standard_normal((c,)), jnp.float32)
+        for g in (gamma, None):
+            xo, yo = residual_layernorm(x, h, g, scale, bias, interpret=True)
+            xr, yr = residual_layernorm_reference(x, h, g, scale, bias)
+            assert xo.dtype == rdt and yo.dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(xo, np.float32), np.asarray(xr, np.float32),
+                atol=2e-2 if rdt == jnp.bfloat16 else 1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(yo, np.float32), np.asarray(yr, np.float32),
+                atol=5e-2,
+            )
+
+
+def test_residual_layernorm_fallback_on_unaligned_tokens(rng):
+    """Non-16-aligned token counts take the XLA oracle path (no pallas)."""
+    from cryovit_tpu.ops.fused_norm import (
+        residual_layernorm,
+        residual_layernorm_reference,
+    )
+
+    b, n, c = 1, 37, 128  # 37 has no 16-aligned divisor
+    x = jnp.asarray(rng.standard_normal((b, n, c)), dtype=jnp.float32)
+    h = jnp.asarray(rng.standard_normal((b, n, c)), dtype=jnp.float32)
+    scale = jnp.ones((c,), jnp.float32)
+    bias = jnp.zeros((c,), jnp.float32)
+    xo, yo = residual_layernorm(x, h, None, scale, bias)
+    xr, yr = residual_layernorm_reference(x, h, None, scale, bias)
+    np.testing.assert_allclose(np.asarray(xo), np.asarray(xr), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(yo, np.float32), np.asarray(yr, np.float32), atol=1e-3
+    )
+
+
+def test_dinov2_fused_ln_path_matches_plain(rng):
+    """The production extractor graph — pair-packed kernel + model-level
+    token padding + fused residual/LN — equals the plain XLA model."""
+    from functools import partial
+
+    from cryovit_tpu.ops.flash_attention import flash_attention_pairs
+    from cryovit_tpu.ops.fused_norm import residual_layernorm
+
+    cfg = DinoV2Config.tiny_test()
+    x = jnp.asarray(rng.standard_normal((2, 3 * 14, 2 * 14)), dtype=jnp.float32)
+    ref_model = DinoV2(cfg=cfg, dtype=jnp.float32)
+    variables = ref_model.init(jax.random.key(0), x)
+    ref = ref_model.apply(variables, x)
+    fused_model = DinoV2(
+        cfg=cfg, dtype=jnp.float32,
+        pair_attention_fn=partial(flash_attention_pairs, interpret=True),
+        fused_ln_fn=partial(residual_layernorm, interpret=True),
+    )
+    out = fused_model.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # scan path too (the production depth-40 configuration)
+    scan_ref = DinoV2(cfg=cfg, dtype=jnp.float32, scan_blocks=True)
+    v_scan = scan_ref.init(jax.random.key(0), x)
+    fused_scan = DinoV2(
+        cfg=cfg, dtype=jnp.float32, scan_blocks=True,
+        pair_attention_fn=partial(flash_attention_pairs, interpret=True),
+        fused_ln_fn=partial(residual_layernorm, interpret=True),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_scan.apply(v_scan, x)),
+        np.asarray(scan_ref.apply(v_scan, x)),
+        atol=1e-4,
+    )
