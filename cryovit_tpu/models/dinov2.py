@@ -709,10 +709,15 @@ def make_dinov2(
         else:
             qkv_attention_fn = flash_attention_bhnd
     if fused_ln is None:
-        # the fused residual+LN kernel rides the same TPU gate as flash
-        # attention, and needs the model-level token padding that only the
-        # pair-packed path performs (16-aligned token counts)
-        fused_ln = bool(use_flash_attention and pair_heads)
+        # measured OFF-by-default: on v5e the Pallas fused residual+LN op
+        # is a consistent ~5% end-to-end LOSS (57.2 → 54.2 slices/s at
+        # 512², invariant to block size 80–520 and parallel grid
+        # semantics) — the custom-call boundary forces the branch tensor
+        # h to materialize in HBM, where XLA's own loop fusion folds the
+        # LayerScale multiply and residual add into producer epilogues.
+        # The op stays available for shapes/backends where XLA fuses
+        # worse; requires the pair-packed path's 16-aligned token pad.
+        fused_ln = False
     fused_ln_fn = None
     if fused_ln:
         from cryovit_tpu.ops.fused_norm import residual_layernorm

@@ -16,6 +16,17 @@ Replaces the reference's separate ``x = x + self.ls1(self.attn(...))``
 
 Inference-path only (like ``ops.flash_attention``): no custom VJP is
 defined — the extractor is frozen everywhere it is used.
+
+MEASURED NEGATIVE RESULT (v5e, 2026-08-18): in the full ViT-g extractor
+this op is a consistent ~5% end-to-end LOSS (57.2 → 54.2 slices/s at
+512²), invariant to block size (80/208/520 rows) and parallel grid
+semantics. The custom-call boundary forces ``h`` (the attention/FFN
+branch) to materialize in HBM as a kernel operand, where XLA's own loop
+fusion folds the LayerScale multiply and the residual add into producer
+epilogues and shares the LN-statistics pass — i.e. XLA's baseline is
+closer to 4 passes than the ~6 assumed above. ``make_dinov2`` therefore
+defaults ``fused_ln=False``; the op remains for shapes/backends where
+XLA fuses worse.
 """
 
 from __future__ import annotations
@@ -136,6 +147,9 @@ def residual_layernorm(
             jax.ShapeDtypeStruct((b, n, c), y_dtype),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * n * c,
             bytes_accessed=(2 * x.size + 2 * h.size) * x.dtype.itemsize,
