@@ -30,6 +30,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 __all__ = ["CryoVITModule", "SynthesisBlock"]
 
@@ -242,7 +243,7 @@ class SynthesisBlock(nn.Module):
                 padding="SAME",
                 dtype=self.dtype,
             )(x)
-            x = _gelu(x)
+            x = _gelu(checkpoint_name(x, "cryovit_conv"))
             x = nn.Conv(
                 self.c2,
                 kernel_size=(3, 3, 3),
@@ -250,11 +251,11 @@ class SynthesisBlock(nn.Module):
                 padding="SAME",
                 dtype=self.dtype,
             )(x)
-            x = _gelu(x)
+            x = _gelu(checkpoint_name(x, "cryovit_conv"))
             x = nn.ConvTranspose(
                 self.c3, kernel_size=(1, 2, 2), strides=(1, 2, 2), dtype=self.dtype
             )(x)
-            return _gelu(x)
+            return _gelu(checkpoint_name(x, "cryovit_conv"))
 
         # channels-second path: identical math and params, lane-friendly layout
         gn_scale, gn_bias = _NormParams(c1, name="GroupNorm_0")()
@@ -262,9 +263,20 @@ class SynthesisBlock(nn.Module):
         w1, b1 = _ConvParams((3, 3, 3), self.c2, self.c2, name="Conv_1")()
         wt, bt = _ConvParams((1, 2, 2), self.c2, self.c3, name="ConvTranspose_0")()
         x = _group_norm_cs(x, gn_scale, gn_bias, groups, 1e-3, self.dtype)
-        x = _gelu(_conv_cs(x, w0, b0, (self.d1, 1, 1), self.dtype))
-        x = _gelu(_conv_cs(x, w1, b1, (self.d2, 1, 1), self.dtype))
-        x = _gelu(_conv_transpose_cs(x, wt, bt, (1, 2, 2), self.dtype))
+        x = _gelu(
+            checkpoint_name(_conv_cs(x, w0, b0, (self.d1, 1, 1), self.dtype),
+                            "cryovit_conv")
+        )
+        x = _gelu(
+            checkpoint_name(_conv_cs(x, w1, b1, (self.d2, 1, 1), self.dtype),
+                            "cryovit_conv")
+        )
+        x = _gelu(
+            checkpoint_name(
+                _conv_transpose_cs(x, wt, bt, (1, 2, 2), self.dtype),
+                "cryovit_conv",
+            )
+        )
         return x
 
 
@@ -276,11 +288,30 @@ class CryoVITModule(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
-    remat: bool = True
+    remat: bool | str = "save_convs"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        block = nn.remat(SynthesisBlock) if self.remat else SynthesisBlock
+        # remat modes (measured at a 48×512×512 crop, BASELINE.md):
+        #   "save_convs": rematerialize each block but SAVE conv/convT
+        #     outputs (`checkpoint_name` tags) — the backward recomputes
+        #     only the VPU-cheap GroupNorm/GELU glue, never a conv. Same
+        #     step time as remat=False with roughly half its live
+        #     activation set; the default.
+        #   True: full per-block remat (backward re-runs the convs) —
+        #     ~19% slower; the fallback for the deepest training crops.
+        #   False: no remat — fastest, largest memory.
+        if self.remat == "save_convs":
+            block = nn.remat(
+                SynthesisBlock,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "cryovit_conv"
+                ),
+            )
+        elif self.remat:
+            block = nn.remat(SynthesisBlock)
+        else:
+            block = SynthesisBlock
         x = x.astype(self.dtype)
         x = nn.Conv(1024, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
         x = _gelu(x)
