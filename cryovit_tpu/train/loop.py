@@ -99,6 +99,14 @@ class Trainer:
         self.gradient_clip_val = gradient_clip_val
         self.gradient_clip_algorithm = gradient_clip_algorithm
         self.mesh = make_mesh(mesh_shape) if mesh_shape else None
+        if self.mesh is not None and self.mesh.size > 1:
+            # GSPMD cannot partition a pallas_call: a mesh trainer may
+            # depth-shard batch=1 inputs (parallel/spatial.py), so the
+            # decoder must trace the XLA conv path instead of the Pallas
+            # tail kernels (ops/conv3d_dm.py docstring).
+            from cryovit_tpu.ops.conv3d_dm import set_conv3d_kernel
+
+            set_conv3d_kernel(False)
         self.donate_state = donate_state
         self.callbacks = list(callbacks)
         self.loggers = list(loggers)
