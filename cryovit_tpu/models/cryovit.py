@@ -105,6 +105,103 @@ def _conv_dm_dispatch(x, kernel, dilation):
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_cl_core(x, kernel, dilation):
+    """3D conv on channels-LAST ``(B, D, H, W, C)`` input (the decoder's
+    low-resolution front), SAME padding, with a tap-dot weight gradient.
+
+    XLA's conv-backward-filter for these big-channel patch-grid convs runs
+    at ~21% MXU (12.25 ms for the 1024→192 block-0 conv); 27 explicit
+    dot_generals contracting the token dims on shifted windows of the
+    padded input hit the same math at 1.5–1.8× (measured standalone)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        rhs_dilation=dilation,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _conv_cl_fwd(x, kernel, dilation):
+    return _conv_cl_core(x, kernel, dilation), (x, kernel)
+
+
+def _conv_cl_bwd(dilation, res, g):
+    x, kernel = res
+    dx = jax.lax.conv_general_dilated(
+        g,
+        jnp.flip(kernel, (0, 1, 2)).swapaxes(3, 4),
+        window_strides=(1, 1, 1),
+        padding="SAME",
+        rhs_dilation=dilation,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    pd, ph, pw = dilation
+    xp = jnp.pad(x, ((0, 0), (pd, pd), (ph, ph), (pw, pw), (0, 0)))
+    b_, d_, h_, w_, _ = x.shape
+    taps = []
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                window = jax.lax.slice(
+                    xp,
+                    (0, kd * pd, kh * ph, kw * pw, 0),
+                    (b_, kd * pd + d_, kh * ph + h_, kw * pw + w_, xp.shape[4]),
+                )
+                taps.append(
+                    jax.lax.dot_general(
+                        window,
+                        g,
+                        (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (C_in, C_out)
+                )
+    dw = jnp.stack(taps).reshape(3, 3, 3, x.shape[-1], g.shape[-1])
+    return dx.astype(x.dtype), dw.astype(kernel.dtype)
+
+
+_conv_cl_core.defvjp(_conv_cl_fwd, _conv_cl_bwd)
+
+
+def _conv_cl(x, kernel, bias, dilation=(1, 1, 1), dtype=jnp.float32):
+    """3D conv on channels-last ``(B, D, H, W, C)`` input, SAME padding."""
+    y = _conv_cl_core(x.astype(dtype), kernel.astype(dtype), tuple(dilation))
+    return y + bias.astype(dtype)
+
+
+@jax.custom_vjp
+def _proj_core(x, kernel):
+    """1×1×1 conv (= per-token dense) on channels-last input, with explicit
+    dot gradients — XLA's conv-backward-filter spent 4.1 ms where a single
+    token-contraction dot streams the same bytes in ~1.5 ms."""
+    return jax.lax.dot_general(
+        x, kernel, (((4,), (0,)), ((), ())), preferred_element_type=x.dtype
+    )
+
+
+def _proj_fwd(x, kernel):
+    return _proj_core(x, kernel), (x, kernel)
+
+
+def _proj_bwd(res, g):
+    x, kernel = res
+    dx = jax.lax.dot_general(
+        g, kernel, (((4,), (1,)), ((), ())), preferred_element_type=g.dtype
+    )
+    dw = jax.lax.dot_general(
+        x,
+        g,
+        (((0, 1, 2, 3), (0, 1, 2, 3)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return dx.astype(x.dtype), dw.astype(kernel.dtype)
+
+
+_proj_core.defvjp(_proj_fwd, _proj_bwd)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _conv_dm_core(x, kernel, dilation):
     """3D conv on depth-major ``(B, D, C, H, W)`` input, SAME padding,
     k=3 per spatial dim, with a custom backward.
@@ -337,21 +434,11 @@ class SynthesisBlock(nn.Module):
         groups = max(8, c1 // 8)
         if not self.depth_major:
             x = nn.GroupNorm(num_groups=groups, epsilon=1e-3, dtype=self.dtype)(x)
-            x = nn.Conv(
-                self.c2,
-                kernel_size=(3, 3, 3),
-                kernel_dilation=(self.d1, 1, 1),
-                padding="SAME",
-                dtype=self.dtype,
-            )(x)
+            w0, b0 = _ConvParams((3, 3, 3), c1, self.c2, name="Conv_0")()
+            w1, b1 = _ConvParams((3, 3, 3), self.c2, self.c2, name="Conv_1")()
+            x = _conv_cl(x, w0, b0, (self.d1, 1, 1), self.dtype)
             x = _gelu(checkpoint_name(x, "cryovit_conv"))
-            x = nn.Conv(
-                self.c2,
-                kernel_size=(3, 3, 3),
-                kernel_dilation=(self.d2, 1, 1),
-                padding="SAME",
-                dtype=self.dtype,
-            )(x)
+            x = _conv_cl(x, w1, b1, (self.d2, 1, 1), self.dtype)
             x = _gelu(checkpoint_name(x, "cryovit_conv"))
             x = nn.ConvTranspose(
                 self.c3, kernel_size=(1, 2, 2), strides=(1, 2, 2), dtype=self.dtype
@@ -414,7 +501,10 @@ class CryoVITModule(nn.Module):
         else:
             block = SynthesisBlock
         x = x.astype(self.dtype)
-        x = nn.Conv(1024, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
+        wp_, bp_ = _ConvParams((1, 1, 1), x.shape[-1], 1024, name="Conv_0")()
+        x = _proj_core(
+            x, wp_[0, 0, 0].astype(self.dtype)
+        ) + bp_.astype(self.dtype)
         x = _gelu(x)
         x = block(192, 128, d1=32, d2=24, dtype=self.dtype, name="SynthesisBlock_0")(x)
         x = block(64, 32, d1=16, d2=12, dtype=self.dtype, name="SynthesisBlock_1")(x)

@@ -16,6 +16,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+# shared conv helpers: channels-last conv with the tap-dot weight gradient
+# (XLA's conv-backward-filter runs at ~21% MXU on these shapes) and the
+# explicit param holder that mirrors nn.Conv's tree
+from cryovit_tpu.models.cryovit import _ConvParams, _conv_cl
+
 __all__ = ["UNet3DModule", "PAD_MULTIPLE"]
 
 PAD_MULTIPLE = 16
@@ -37,12 +42,17 @@ class AnalysisBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-        for _ in range(2):
-            x = nn.Conv(self.features, (3, 3, 3), padding="SAME", dtype=self.dtype)(x)
+        for i in range(2):
+            w, b = _ConvParams(
+                (3, 3, 3), x.shape[-1], self.features, name=f"Conv_{i}"
+            )()
+            x = _conv_cl(x, w, b, dtype=self.dtype)
             x = _instance_norm(self.features, self.dtype)(x)
             x = _gelu(x)
         skip = x
-        x = nn.Conv(self.features, (2, 2, 2), strides=(2, 2, 2), padding="VALID", dtype=self.dtype)(x)
+        # explicit name: the k3 convs above are param holders, so flax's
+        # auto-counter would otherwise rename this one Conv_0
+        x = nn.Conv(self.features, (2, 2, 2), strides=(2, 2, 2), padding="VALID", dtype=self.dtype, name="Conv_2")(x)
         x = _instance_norm(self.features, self.dtype)(x)
         x = _gelu(x)
         return x, skip
@@ -64,7 +74,8 @@ class SynthesisBlock(nn.Module):
         x = nn.Dense(self.features, dtype=self.dtype)(x)
         x = _instance_norm(self.features, self.dtype)(x)
         x = _gelu(x)
-        x = nn.Conv(self.features, (3, 3, 3), padding="SAME", dtype=self.dtype)(x)
+        w, b = _ConvParams((3, 3, 3), x.shape[-1], self.features, name="Conv_0")()
+        x = _conv_cl(x, w, b, dtype=self.dtype)
         x = _instance_norm(self.features, self.dtype)(x)
         x = _gelu(x)
         return x
@@ -94,17 +105,19 @@ class UNet3DModule(nn.Module):
             x, skip = AnalysisBlock(feats, dtype=self.dtype)(x)
             skips.append(skip)
 
-        x = nn.Conv(384, (3, 3, 3), padding="SAME", dtype=self.dtype)(x)
+        w, b = _ConvParams((3, 3, 3), x.shape[-1], 384, name="Conv_0")()
+        x = _conv_cl(x, w, b, dtype=self.dtype)
         x = _instance_norm(384, self.dtype)(x)
         x = _gelu(x)
-        x = nn.Conv(256, (3, 3, 3), padding="SAME", dtype=self.dtype)(x)
+        w, b = _ConvParams((3, 3, 3), 384, 256, name="Conv_1")()
+        x = _conv_cl(x, w, b, dtype=self.dtype)
         x = _instance_norm(256, self.dtype)(x)
         x = _gelu(x)
 
         for feats in (64, 16, 16):
             x = SynthesisBlock(feats, dtype=self.dtype)(x, skips.pop())
 
-        x = nn.Conv(1, (1, 1, 1), dtype=self.dtype)(x)
+        x = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="Conv_2")(x)
         # squeeze the channel BEFORE the elementwise tail: a trailing dim
         # of 1 would sit on the 128-lane axis and blow up backward buffers
         # 128x (observed 17.7 GB for a 138 MB logical tensor)
