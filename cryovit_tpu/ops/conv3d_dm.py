@@ -3,9 +3,9 @@
 The CryoVIT decoder tail runs few-channel (8–32) k=3³ convs at half/full
 voxel resolution (``models/cryovit.py`` — reference
 ``models/cryovit.py:52-83``). XLA's conv lowering for these shapes emits
-internal relayout ``copy`` ops as large as the conv itself (~30% of the
-measured train step, BASELINE.md r3); a direct XLA conv on the depth-major
-layout is 2–280× slower than this kernel at the tail shapes. The kernel
+internal relayout ``copy`` ops as large as the conv itself; a direct XLA
+conv on the depth-major layout is 2–280× slower than this kernel at the
+tail shapes (measured per-op table in BASELINE.md r3). The kernel
 computes the same conv as three MXU matmuls per (depth-plane, row-block)
 program with the im2col built in VMEM:
 
@@ -210,6 +210,9 @@ def _conv3d_dm_single(x, kernel, dilation, block_rows=None, interpret=False):
         ),
         out_shape=jax.ShapeDtypeStruct((d, co, hb * w), x.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 27 * ci * co * d * hb * w,
             bytes_accessed=(3 * (ht + 2) * nh * w * d * ci
