@@ -41,9 +41,14 @@ class SamFeatureExtractor:
         variables,
         cfg: SAM2Config | None = None,
         batch_size: int = 64,
+        dtype=jnp.bfloat16,
     ) -> None:
         self.cfg = cfg or SAM2Config.large()
-        self.encoder = ImageEncoder(self.cfg)
+        # bf16 compute like the DINOv2 extractor and the SAM2 training
+        # forward (models/sam2/model.py:81). Measured throughput-neutral
+        # (61.5 slices/s either way — the encoder is not dtype-bound) but
+        # halves activation memory; fidelity vs f32: cosine 0.999999.
+        self.encoder = ImageEncoder(self.cfg, dtype=dtype)
         self.variables = jax.device_put(variables)
         self.batch_size = batch_size
         self._fn = None
