@@ -34,6 +34,35 @@ def _instance_norm(channels: int, dtype) -> nn.GroupNorm:
     return nn.GroupNorm(num_groups=channels, epsilon=1e-3, dtype=dtype)
 
 
+def _pool2_cl(x, kernel, bias, dtype):
+    """k=2³ stride-2 VALID conv as ONE matmul: a free row-major split, one
+    transpose that gathers the 2×2×2 taps next to C, and a (8C → Co) dot.
+    XLA's native lowering of the same op ran at ~2.5% of HBM bandwidth
+    (4.16 ms where this form streams the bytes in ~1 ms)."""
+    x = x.astype(dtype)
+    b, d, h, w, c = x.shape
+    xr = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    xr = xr.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    xr = xr.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+    # (2,2,2,Ci,Co) rows ordered (a,b,c,ci) — matches the transpose above
+    y = xr @ kernel.astype(dtype).reshape(8 * c, -1)
+    return y + bias.astype(dtype)
+
+
+def _convt2_cl(x, kernel, bias, dtype):
+    """k=2³ stride-2 VALID ConvTranspose (flax unflipped kernel) as ONE
+    matmul + parity scatter: dot to (..., 8·Co), then one transpose
+    interleaves the 2×2×2 output parities. lax's conv_transpose places tap
+    (a,b,c) at output parity (1−a,1−b,1−c) — hence the flip."""
+    x = x.astype(dtype)
+    b, d, h, w, c = x.shape
+    co = kernel.shape[-1]
+    kmat = jnp.flip(kernel.astype(dtype), (0, 1, 2)).transpose(3, 0, 1, 2, 4)
+    t = (x @ kmat.reshape(c, 8 * co)).reshape(b, d, h, w, 2, 2, 2, co)
+    y = t.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(b, 2 * d, 2 * h, 2 * w, co)
+    return y + bias.astype(dtype)
+
+
 class AnalysisBlock(nn.Module):
     """Two k3 convs + InstanceNorm + GELU, returning (pooled, skip)."""
 
@@ -50,9 +79,10 @@ class AnalysisBlock(nn.Module):
             x = _instance_norm(self.features, self.dtype)(x)
             x = _gelu(x)
         skip = x
-        # explicit name: the k3 convs above are param holders, so flax's
-        # auto-counter would otherwise rename this one Conv_0
-        x = nn.Conv(self.features, (2, 2, 2), strides=(2, 2, 2), padding="VALID", dtype=self.dtype, name="Conv_2")(x)
+        w, b = _ConvParams(
+            (2, 2, 2), self.features, self.features, name="Conv_2"
+        )()
+        x = _pool2_cl(x, w, b, self.dtype)
         x = _instance_norm(self.features, self.dtype)(x)
         x = _gelu(x)
         return x, skip
@@ -66,7 +96,10 @@ class SynthesisBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
-        x = nn.ConvTranspose(self.features, (2, 2, 2), strides=(2, 2, 2), dtype=self.dtype)(x)
+        w, b = _ConvParams(
+            (2, 2, 2), x.shape[-1], self.features, name="ConvTranspose_0"
+        )()
+        x = _convt2_cl(x, w, b, self.dtype)
         x = _instance_norm(self.features, self.dtype)(x)
         x = _gelu(x)
         x = jnp.concatenate([x, skip], axis=-1)
