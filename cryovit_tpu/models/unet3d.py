@@ -17,9 +17,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # shared conv helpers: channels-last conv with the tap-dot weight gradient
-# (XLA's conv-backward-filter runs at ~21% MXU on these shapes) and the
-# explicit param holder that mirrors nn.Conv's tree
-from cryovit_tpu.models.cryovit import _ConvParams, _conv_cl
+# (XLA's conv-backward-filter runs at ~21% MXU on these shapes), the
+# depth-major Pallas conv core + GroupNorm (level 1 runs depth-major:
+# 16 channels on the 128-lane axis waste 88% of every vector op, so W
+# takes the lane axis there), and the explicit param holders that mirror
+# nn.Conv's / nn.Dense's trees
+from cryovit_tpu.models.cryovit import (
+    _ConvParams,
+    _NormParams,
+    _conv_cl,
+    _conv_dm_core,
+    _group_norm_dm,
+)
 
 __all__ = ["UNet3DModule", "PAD_MULTIPLE"]
 
@@ -49,6 +58,55 @@ def _pool2_cl(x, kernel, bias, dtype):
     return y + bias.astype(dtype)
 
 
+def _pool2_dm(x, kernel, bias, dtype):
+    """Pool matmul for DEPTH-MAJOR input ``(B, D, C, H, W)``; the tap
+    gather transpose absorbs the layout change for free — output is
+    channels-last for the next (wider) level."""
+    x = x.astype(dtype)
+    b, d, c, h, w = x.shape
+    xr = x.reshape(b, d // 2, 2, c, h // 2, 2, w // 2, 2)
+    xr = xr.transpose(0, 1, 4, 6, 2, 5, 7, 3)
+    xr = xr.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+    y = xr @ kernel.astype(dtype).reshape(8 * c, -1)
+    return y + bias.astype(dtype)
+
+
+def _convt2_dm_out(x, kernel, bias, dtype):
+    """ConvTranspose matmul from channels-last input to DEPTH-MAJOR
+    output ``(B, 2D, Co, 2H, 2W)`` — the parity scatter transpose absorbs
+    the layout change for free."""
+    x = x.astype(dtype)
+    b, d, h, w, c = x.shape
+    co = kernel.shape[-1]
+    kmat = jnp.flip(kernel.astype(dtype), (0, 1, 2)).transpose(3, 0, 1, 2, 4)
+    t = (x @ kmat.reshape(c, 8 * co)).reshape(b, d, h, w, 2, 2, 2, co)
+    y = t.transpose(0, 1, 4, 7, 2, 5, 3, 6).reshape(b, 2 * d, co, 2 * h, 2 * w)
+    return y + bias.astype(dtype).reshape(1, 1, -1, 1, 1)
+
+
+def _conv_dm(x, kernel, bias, dtype):
+    """k3 SAME conv + bias on depth-major input (Pallas on TPU)."""
+    y = _conv_dm_core(x.astype(dtype), kernel.astype(dtype), (1, 1, 1))
+    return y + bias.astype(dtype).reshape(1, 1, -1, 1, 1)
+
+
+class _DenseParams(nn.Module):
+    """Kernel/bias holder with nn.Dense's exact param layout."""
+
+    features_in: int
+    features_out: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features_out,))
+        return kernel, bias
+
+
 def _convt2_cl(x, kernel, bias, dtype):
     """k=2³ stride-2 VALID ConvTranspose (flax unflipped kernel) as ONE
     matmul + parity scatter: dot to (..., 8·Co), then one transpose
@@ -64,52 +122,100 @@ def _convt2_cl(x, kernel, bias, dtype):
 
 
 class AnalysisBlock(nn.Module):
-    """Two k3 convs + InstanceNorm + GELU, returning (pooled, skip)."""
+    """Two k3 convs + InstanceNorm + GELU, returning (pooled, skip).
+
+    ``depth_major=True`` computes on ``(B, D, C, H, W)`` with the same
+    parameter tree and returns a channels-last pooled output (the pool's
+    tap-gather transpose changes layout for free) + a depth-major skip.
+    """
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    depth_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        cin = x.shape[2] if self.depth_major else x.shape[-1]
         for i in range(2):
             w, b = _ConvParams(
-                (3, 3, 3), x.shape[-1], self.features, name=f"Conv_{i}"
+                (3, 3, 3), cin if i == 0 else self.features,
+                self.features, name=f"Conv_{i}",
             )()
-            x = _conv_cl(x, w, b, dtype=self.dtype)
-            x = _instance_norm(self.features, self.dtype)(x)
+            if self.depth_major:
+                x = _conv_dm(x, w, b, self.dtype)
+                gn_s, gn_b = _NormParams(self.features, name=f"GroupNorm_{i}")()
+                x = _group_norm_dm(
+                    x, gn_s, gn_b, self.features, 1e-3, self.dtype
+                )
+            else:
+                x = _conv_cl(x, w, b, dtype=self.dtype)
+                x = _instance_norm(self.features, self.dtype)(x)
             x = _gelu(x)
         skip = x
         w, b = _ConvParams(
             (2, 2, 2), self.features, self.features, name="Conv_2"
         )()
-        x = _pool2_cl(x, w, b, self.dtype)
-        x = _instance_norm(self.features, self.dtype)(x)
+        pool = _pool2_dm if self.depth_major else _pool2_cl
+        x = pool(x, w, b, self.dtype)
+        # explicit name: the depth-major branch uses param holders for the
+        # first two norms, so flax's auto-counter must not reuse their slots
+        x = nn.GroupNorm(
+            num_groups=self.features, epsilon=1e-3, dtype=self.dtype,
+            name="GroupNorm_2",
+        )(x)
         x = _gelu(x)
         return x, skip
 
 
 class SynthesisBlock(nn.Module):
-    """Transposed-conv upsample, skip concat, 1×1 projection + k3 conv."""
+    """Transposed-conv upsample, skip concat, 1×1 projection + k3 conv.
+
+    ``depth_major=True`` (the full-resolution block whose skip comes from
+    the depth-major level 1): the ConvTranspose's parity-scatter transpose
+    emits ``(B, D, C, H, W)`` for free and everything downstream computes
+    depth-major with the same parameter tree.
+    """
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    depth_major: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray) -> jnp.ndarray:
         w, b = _ConvParams(
             (2, 2, 2), x.shape[-1], self.features, name="ConvTranspose_0"
         )()
-        x = _convt2_cl(x, w, b, self.dtype)
-        x = _instance_norm(self.features, self.dtype)(x)
+        if not self.depth_major:
+            x = _convt2_cl(x, w, b, self.dtype)
+            x = _instance_norm(self.features, self.dtype)(x)
+            x = _gelu(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            # 1×1 linear projection over channels (reference LinearProjection)
+            x = nn.Dense(self.features, dtype=self.dtype)(x)
+            x = _instance_norm(self.features, self.dtype)(x)
+            x = _gelu(x)
+            w, b = _ConvParams((3, 3, 3), x.shape[-1], self.features, name="Conv_0")()
+            x = _conv_cl(x, w, b, dtype=self.dtype)
+            x = _instance_norm(self.features, self.dtype)(x)
+            x = _gelu(x)
+            return x
+
+        x = _convt2_dm_out(x, w, b, self.dtype)
+        gn_s, gn_b = _NormParams(self.features, name="GroupNorm_0")()
+        x = _group_norm_dm(x, gn_s, gn_b, self.features, 1e-3, self.dtype)
         x = _gelu(x)
-        x = jnp.concatenate([x, skip], axis=-1)
-        # 1×1 linear projection over channels (reference LinearProjection)
-        x = nn.Dense(self.features, dtype=self.dtype)(x)
-        x = _instance_norm(self.features, self.dtype)(x)
+        x = jnp.concatenate([x, skip], axis=2)
+        dk, db = _DenseParams(x.shape[2], self.features, name="Dense_0")()
+        x = jnp.einsum(
+            "bdchw,cf->bdfhw", x, dk.astype(self.dtype)
+        ) + db.astype(self.dtype).reshape(1, 1, -1, 1, 1)
+        gn_s, gn_b = _NormParams(self.features, name="GroupNorm_1")()
+        x = _group_norm_dm(x, gn_s, gn_b, self.features, 1e-3, self.dtype)
         x = _gelu(x)
-        w, b = _ConvParams((3, 3, 3), x.shape[-1], self.features, name="Conv_0")()
-        x = _conv_cl(x, w, b, dtype=self.dtype)
-        x = _instance_norm(self.features, self.dtype)(x)
+        w, b = _ConvParams((3, 3, 3), x.shape[2], self.features, name="Conv_0")()
+        x = _conv_dm(x, w, b, self.dtype)
+        gn_s, gn_b = _NormParams(self.features, name="GroupNorm_2")()
+        x = _group_norm_dm(x, gn_s, gn_b, self.features, 1e-3, self.dtype)
         x = _gelu(x)
         return x
 
@@ -133,9 +239,13 @@ class UNet3DModule(nn.Module):
                     f"UNet3D input dims must be multiples of {PAD_MULTIPLE}, got {x.shape}"
                 )
         x = x.astype(self.dtype)
+        # level 1 runs depth-major: with C=1 the entry moveaxis is free
+        x = jnp.moveaxis(x, -1, 2)
         skips = []
         for feats in (16, 64, 256):
-            x, skip = AnalysisBlock(feats, dtype=self.dtype)(x)
+            x, skip = AnalysisBlock(
+                feats, dtype=self.dtype, depth_major=(feats == 16)
+            )(x)
             skips.append(skip)
 
         w, b = _ConvParams((3, 3, 3), x.shape[-1], 384, name="Conv_0")()
@@ -147,13 +257,18 @@ class UNet3DModule(nn.Module):
         x = _instance_norm(256, self.dtype)(x)
         x = _gelu(x)
 
-        for feats in (64, 16, 16):
-            x = SynthesisBlock(feats, dtype=self.dtype)(x, skips.pop())
+        for i, feats in enumerate((64, 16, 16)):
+            x = SynthesisBlock(
+                feats, dtype=self.dtype, depth_major=(i == 2)
+            )(x, skips.pop())
 
-        x = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="Conv_2")(x)
-        # squeeze the channel BEFORE the elementwise tail: a trailing dim
-        # of 1 would sit on the 128-lane axis and blow up backward buffers
-        # 128x (observed 17.7 GB for a 138 MB logical tensor)
-        x = x[..., 0].astype(jnp.float32)
+        # output 1×1 conv on the depth-major tensor: a single C-contraction
+        # (squeezing the channel keeps unit dims off the lane axis — a
+        # trailing dim of 1 blew backward buffers up 128×)
+        wk, wb = _ConvParams((1, 1, 1), x.shape[2], 1, name="Conv_2")()
+        x = jnp.einsum(
+            "bdchw,c->bdhw", x, wk[0, 0, 0, :, 0].astype(self.dtype)
+        ) + wb.astype(self.dtype)[0]
+        x = x.astype(jnp.float32)
         x = jnp.clip(x, -5.0, 5.0)
         return nn.sigmoid(x)
