@@ -97,41 +97,65 @@ def conv3d_dm_supported(x_shape, kernel_shape, dilation) -> bool:
     return h >= 2
 
 
+def _auto_block_rows(h: int, w: int, ci: int) -> int:
+    """Bigger row blocks amortize the 2-row halo and pipeline overhead
+    (measured monotonic 8→64 at every tail shape); cap the f32 im2col
+    tile at ~24 MB of VMEM. Row counts that don't divide are handled by
+    hb round-up padding, so only ``cand <= h`` gates the size."""
+    block_rows = 8
+    for cand in (16, 32, 64):
+        if cand <= h and 9 * ci * cand * w * 4 <= 24e6:
+            block_rows = cand
+    return block_rows
+
+
+def _im2col_tap(x_ref, *, ht: int, w: int):
+    """Load one depth tap's row-block window and build its 9-shift im2col
+    tile ``(9·Ci, ht·W)`` in VMEM. Shared by the forward and dW kernels —
+    their tap geometry must stay bit-identical."""
+    length = (ht + 2) * w
+    blk = x_ref[0]  # (Ci, (ht+2)·W) — size-1 Element depth dim
+    if blk.dtype.itemsize < 4:
+        # Mosaic's lane rotate is 32-bit only ("Rotate with non-32-bit
+        # data"); upcast in VMEM — HBM traffic stays in the I/O dtype.
+        blk = blk.astype(jnp.float32)
+    # lanes whose rolled value wrapped across a row boundary get zeroed:
+    # after roll(+1) position p holds col (p-1) — invalid at col 0; after
+    # roll(-1) position p holds col (p+1) — invalid at col w-1.
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, length), 1) % w
+    zero = jnp.zeros((), blk.dtype)
+    rolled = {
+        0: jnp.where(col != 0, pltpu.roll(blk, shift=1, axis=1), zero),
+        1: blk,
+        # roll requires a non-negative shift: −1 ≡ L−1 circularly
+        2: jnp.where(
+            col != w - 1,
+            pltpu.roll(blk, shift=length - 1, axis=1),
+            zero,
+        ),
+    }
+    pieces = []
+    for kh in range(3):
+        lo = kh * w
+        for kw in range(3):
+            pieces.append(rolled[kw][:, lo : lo + ht * w])
+    return jnp.concatenate(pieces, axis=0)  # (9·Ci, ht·W)
+
+
+def _tap_valid(kd: int, d: int, dd: int):
+    """Whether depth tap kd's (clamped) plane index is in range [0, d)."""
+    plane = pl.program_id(0) + (kd - 1) * dd
+    return jnp.logical_and(plane >= 0, plane < d)
+
+
 def _conv_kernel(
     x0_ref, x1_ref, x2_ref, k_ref, o_ref, *, ht: int, w: int, ci: int,
     d: int, dd: int, out_dtype,
 ):
     """One (depth-plane, row-block) program: im2col in VMEM + 3 dots."""
-    dz = pl.program_id(0)
-    length = (ht + 2) * w
-    # lanes whose rolled value wrapped across a row boundary get zeroed:
-    # after roll(+1) position p holds col (p-1) — invalid at col 0; after
-    # roll(-1) position p holds col (p+1) — invalid at col w-1.
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, length), 1) % w
     acc = None
     for kd, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
-        blk = x_ref[0]  # (Ci, (ht+2)·W) — size-1 Element depth dim
-        if blk.dtype.itemsize < 4:
-            # Mosaic's lane rotate is 32-bit only ("Rotate with non-32-bit
-            # data"); upcast in VMEM — HBM traffic stays in the I/O dtype.
-            blk = blk.astype(jnp.float32)
-        zero = jnp.zeros((), blk.dtype)
-        rolled = {
-            0: jnp.where(col != 0, pltpu.roll(blk, shift=1, axis=1), zero),
-            1: blk,
-            # roll requires a non-negative shift: −1 ≡ L−1 circularly
-            2: jnp.where(
-                col != w - 1,
-                pltpu.roll(blk, shift=length - 1, axis=1),
-                zero,
-            ),
-        }
-        pieces = []
-        for kh in range(3):
-            lo = kh * w
-            for kw in range(3):
-                pieces.append(rolled[kw][:, lo : lo + ht * w])
-        im2col = jnp.concatenate(pieces, axis=0)  # (9·Ci, ht·W)
+        im2col = _im2col_tap(x_ref, ht=ht, w=w)
         t = jax.lax.dot_general(
             k_ref[kd][:, : 9 * ci],  # (Co, 9·Ci) — drop lane padding
             im2col,
@@ -139,9 +163,7 @@ def _conv_kernel(
             preferred_element_type=jnp.float32,
         )  # (Co, ht·W)
         # zero depth taps whose (clamped) plane index fell outside [0, d)
-        plane = dz + (kd - 1) * dd
-        valid = jnp.logical_and(plane >= 0, plane < d)
-        t = jnp.where(valid, t, jnp.zeros((), t.dtype))
+        t = jnp.where(_tap_valid(kd, d, dd), t, jnp.zeros((), t.dtype))
         acc = t if acc is None else acc + t
     o_ref[...] = acc.astype(out_dtype)
 
@@ -154,15 +176,7 @@ def _conv3d_dm_single(x, kernel, dilation, block_rows=None, interpret=False):
     d, ci, h, w = x.shape
     co = kernel.shape[-1]
     dd = dilation[0]
-    if block_rows is None:
-        # bigger row blocks amortize the 2-row halo and pipeline overhead
-        # (measured monotonic 8→64 at every tail shape); cap the f32
-        # im2col tile at ~24 MB of VMEM.
-        block_rows = 8
-        for cand in (16, 32, 64):
-            if cand <= h and 9 * ci * cand * w * 4 <= 24e6:
-                block_rows = cand
-    ht = block_rows
+    ht = block_rows or _auto_block_rows(h, w, ci)
     nh = -(-h // ht)
     hb = nh * ht
 
@@ -250,31 +264,10 @@ def _dw_kernel(
 ):
     """One (depth-plane, row-block) program: the forward's im2col contracted
     against the cotangent block — dW[kd] += im2col_kd · gᵀ."""
-    dz = pl.program_id(0)
-    length = (ht + 2) * w
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, length), 1) % w
-    first = jnp.logical_and(dz == 0, pl.program_id(1) == 0)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     gu = g_ref[0].astype(jnp.float32)  # (Co, ht·W)
     for kd, x_ref in enumerate((x0_ref, x1_ref, x2_ref)):
-        blk = x_ref[0]
-        if blk.dtype.itemsize < 4:
-            blk = blk.astype(jnp.float32)
-        zero = jnp.zeros((), blk.dtype)
-        rolled = {
-            0: jnp.where(col != 0, pltpu.roll(blk, shift=1, axis=1), zero),
-            1: blk,
-            2: jnp.where(
-                col != w - 1,
-                pltpu.roll(blk, shift=length - 1, axis=1),
-                zero,
-            ),
-        }
-        pieces = []
-        for kh in range(3):
-            lo = kh * w
-            for kw in range(3):
-                pieces.append(rolled[kw][:, lo : lo + ht * w])
-        im2col = jnp.concatenate(pieces, axis=0)  # (9·Ci, ht·W)
+        im2col = _im2col_tap(x_ref, ht=ht, w=w)
         dw = jax.lax.dot_general(
             im2col,
             gu,
@@ -282,9 +275,7 @@ def _dw_kernel(
             preferred_element_type=jnp.float32,
         )  # (9·Ci, Co)
         # clamped out-of-range depth taps must contribute nothing
-        plane = dz + (kd - 1) * dd
-        valid = jnp.logical_and(plane >= 0, plane < d)
-        dw = jnp.where(valid, dw, jnp.zeros((), dw.dtype))
+        dw = jnp.where(_tap_valid(kd, d, dd), dw, jnp.zeros((), dw.dtype))
 
         co = gu.shape[0]
 
@@ -305,12 +296,7 @@ def _conv3d_dm_dw_single(x, g, dilation, block_rows=None, interpret=False):
     d, ci, h, w = x.shape
     co = g.shape[1]
     dd = dilation[0]
-    if block_rows is None:
-        block_rows = 8
-        for cand in (16, 32, 64):
-            if cand <= h and 9 * ci * cand * w * 4 <= 24e6:
-                block_rows = cand
-    ht = block_rows
+    ht = block_rows or _auto_block_rows(h, w, ci)
     nh = -(-h // ht)
     hb = nh * ht
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, hb - h + 1), (0, 0)))

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from cryovit_tpu.ops.conv3d_dm import _auto_block_rows
+
 __all__ = ["convt2x_dm", "convt2x_dm_supported", "convt2x_dm_reference"]
 
 
@@ -92,12 +94,7 @@ def _convt2x_single(x, kernel, block_rows=None, interpret=False):
     """x (D, Ci, H, W) bf16, kernel (1,2,2,Ci,Co) → (D, Co, 2H, 2W)."""
     d, ci, h, w = x.shape
     co = kernel.shape[-1]
-    if block_rows is None:
-        block_rows = 8
-        for cand in (16, 32, 64):
-            if h % cand == 0 and 4 * ci * cand * w * 4 <= 24e6:
-                block_rows = cand
-    ht = block_rows
+    ht = block_rows or _auto_block_rows(h, w, ci)
     nh = -(-h // ht)
     hb = nh * ht
     if hb != h:
@@ -215,12 +212,7 @@ def _convt2x_bwd_single(g, x, kernel, block_rows=None, interpret=False):
     """g (D, Co, 2H, 2W), x (D, Ci, H, W) → (dx, dW[1,2,2,Ci,Co])."""
     d, ci, h, w = x.shape
     co = kernel.shape[-1]
-    if block_rows is None:
-        block_rows = 8
-        for cand in (16, 32, 64):
-            if h % cand == 0 and 4 * ci * cand * w * 4 <= 24e6:
-                block_rows = cand
-    ht = block_rows
+    ht = block_rows or _auto_block_rows(h, w, ci)
     nh = -(-h // ht)
     hb = nh * ht
     if hb != h:

@@ -99,14 +99,6 @@ class Trainer:
         self.gradient_clip_val = gradient_clip_val
         self.gradient_clip_algorithm = gradient_clip_algorithm
         self.mesh = make_mesh(mesh_shape) if mesh_shape else None
-        if self.mesh is not None and self.mesh.size > 1:
-            # GSPMD cannot partition a pallas_call: a mesh trainer may
-            # depth-shard batch=1 inputs (parallel/spatial.py), so the
-            # decoder must trace the XLA conv path instead of the Pallas
-            # tail kernels (ops/conv3d_dm.py docstring).
-            from cryovit_tpu.ops.conv3d_dm import set_conv3d_kernel
-
-            set_conv3d_kernel(False)
         self.donate_state = donate_state
         self.callbacks = list(callbacks)
         self.loggers = list(loggers)
@@ -115,6 +107,32 @@ class Trainer:
         self.logged: dict[str, float] = {}
 
     # ---- step builders --------------------------------------------------
+
+    def _kernel_guard(self):
+        """GSPMD cannot partition a pallas_call: a mesh trainer may
+        depth-shard batch=1 inputs (parallel/spatial.py), so any step
+        traced inside a multi-device run must take the XLA conv path
+        instead of the Pallas tail kernels (ops/conv3d_dm.py docstring).
+        Scoped (not a permanent global toggle): jit caches the traced
+        program, so steps first called inside the guard stay XLA-path for
+        their lifetime, while later single-chip work re-enables the
+        kernels."""
+        import contextlib
+
+        if self.mesh is None or self.mesh.size <= 1:
+            return contextlib.nullcontext()
+
+        from cryovit_tpu.ops.conv3d_dm import set_conv3d_kernel
+
+        @contextlib.contextmanager
+        def guard():
+            set_conv3d_kernel(False)
+            try:
+                yield
+            finally:
+                set_conv3d_kernel(None)
+
+        return guard()
 
     def _train_step_fn(self, model: BaseModel, optimizer) -> Callable:
         def step(state: TrainState, data, label):
@@ -193,6 +211,19 @@ class Trainer:
     # ---- fit -------------------------------------------------------------
 
     def fit(
+        self,
+        model: BaseModel,
+        datamodule,
+        variables=None,
+        ckpt_path: str | Path | None = None,
+        pretrained_variables=None,
+    ) -> TrainState:
+        with self._kernel_guard():
+            return self._fit(
+                model, datamodule, variables, ckpt_path, pretrained_variables
+            )
+
+    def _fit(
         self,
         model: BaseModel,
         datamodule,
@@ -349,6 +380,10 @@ class Trainer:
         return jnp.asarray(np.stack(masks))
 
     def test(self, model: BaseModel, variables, datamodule) -> list[BatchedModelResult]:
+        with self._kernel_guard():
+            return self._test(model, variables, datamodule)
+
+    def _test(self, model, variables, datamodule) -> list[BatchedModelResult]:
         eval_step = self._eval_step_fn(model)
         prepare = getattr(model, "prepare_inputs", None)
         results = []
@@ -371,6 +406,10 @@ class Trainer:
         return results
 
     def predict(self, model: BaseModel, variables, datamodule) -> list[BatchedModelResult]:
+        with self._kernel_guard():
+            return self._predict(model, variables, datamodule)
+
+    def _predict(self, model, variables, datamodule) -> list[BatchedModelResult]:
         predict_step = self._predict_step_fn(model)
         prepare = getattr(model, "prepare_inputs", None)
         results = []
