@@ -57,7 +57,7 @@ class ImageEncoder(nn.Module):
         # lateral 1×1 convs, low-res → high-res processing with top-down adds
         n = len(trunk_outs)
         laterals = [
-            nn.Conv(cfg.d_model, (1, 1), name=f"neck_conv{i}")(feat)
+            nn.Conv(cfg.d_model, (1, 1), dtype=self.dtype, name=f"neck_conv{i}")(feat)
             for i, feat in enumerate(trunk_outs)
         ]
         # top-down: levels counted high-res=0 … low-res=n-1; top_down_levels

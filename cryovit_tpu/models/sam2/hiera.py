@@ -55,12 +55,13 @@ class MultiScaleAttention(nn.Module):
     dim_out: int
     num_heads: int
     q_pool: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, _ = x.shape
         head_dim = self.dim_out // self.num_heads
-        qkv = nn.Dense(3 * self.dim_out, name="qkv")(x)
+        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -83,7 +84,7 @@ class MultiScaleAttention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(b, *out_hw, self.dim_out)
-        return nn.Dense(self.dim_out, name="proj")(out)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
 
 
 class MultiScaleBlock(nn.Module):
@@ -100,11 +101,11 @@ class MultiScaleBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim_in = x.shape[-1]
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
 
         if dim_in != self.dim_out:
             # projection on the (pooled) shortcut
-            shortcut = nn.Dense(self.dim_out, name="proj")(x)
+            shortcut = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
         if self.q_pool:
             b, h, w, c = shortcut.shape
             shortcut = nn.max_pool(shortcut, (2, 2), strides=(2, 2))
@@ -113,7 +114,11 @@ class MultiScaleBlock(nn.Module):
         if self.window_size > 0:
             x, padded = _window_partition(x, self.window_size)
         attn = MultiScaleAttention(
-            self.dim_out, self.num_heads, q_pool=self.q_pool, name="attn"
+            self.dim_out,
+            self.num_heads,
+            q_pool=self.q_pool,
+            dtype=self.dtype,
+            name="attn",
         )
         x = attn(x)
         if self.window_size > 0:
@@ -123,10 +128,12 @@ class MultiScaleBlock(nn.Module):
             x = _window_unpartition(x, win, padded, out_hw)
 
         x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        y = nn.Dense(int(self.dim_out * self.mlp_ratio), name="mlp_fc1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(
+            int(self.dim_out * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1"
+        )(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(self.dim_out, name="mlp_fc2")(y)
+        y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
 
@@ -149,6 +156,7 @@ class Hiera(nn.Module):
             (cfg.patch_kernel, cfg.patch_kernel),
             strides=(cfg.patch_stride, cfg.patch_stride),
             padding=[(cfg.patch_padding, cfg.patch_padding)] * 2,
+            dtype=self.dtype,
             name="patch_embed",
         )(x)
         gh, gw = x.shape[1:3]
@@ -168,7 +176,8 @@ class Hiera(nn.Module):
         pos = jnp.einsum("pw,owc->opc", rw, pos)
         tiles = jnp.tile(pos_win, ((gh + win - 1) // win, (gw + win - 1) // win, 1))
         pos = pos + tiles[:gh, :gw]
-        x = x + pos[None]
+        # interpolate in f32, join the residual stream at the compute dtype
+        x = x + pos[None].astype(x.dtype)
 
         stage_ends = []
         total = 0
