@@ -81,7 +81,28 @@ class MultiScaleAttention(nn.Module):
         logits = jnp.einsum(
             "bqhd,bkhd->bhqk", q * scale, k, preferred_element_type=jnp.float32
         )
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        if self.dtype == jnp.float32:
+            attn = jax.nn.softmax(logits, axis=-1)
+        else:
+            # bf16 score tensors: the windowed/global score tiles are the
+            # encoder's largest intermediates (stage 1: 537 MB per pass at
+            # batch 64) and the f32 softmax's reduce+normalize passes
+            # dominated the device profile (~50% of encoder time,
+            # tools/op_profile.py). Shift in f32 (exact max), exponentiate
+            # and store probabilities in the compute dtype, accumulate the
+            # denominator in f32 — same recipe as the DINOv2 flash kernel
+            # (ops/flash_attention.py:softmax_num).
+            # the cast fuses into the matmul epilogue, so the score tensor
+            # is materialized once at 2 bytes/elem; the max pass then reads
+            # bf16 too (the softmax shift need not be the exact f32 max —
+            # any bound within ~88 of it prevents overflow)
+            s = logits.astype(self.dtype)
+            shifted = s - jax.lax.stop_gradient(
+                jnp.max(s, axis=-1, keepdims=True)
+            )
+            p = jnp.exp(shifted)
+            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            attn = (p * (1.0 / denom).astype(self.dtype)).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(b, *out_hw, self.dim_out)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)

@@ -33,6 +33,29 @@ logger = logging.getLogger(__name__)
 __all__ = ["SamFeatureExtractor", "run_sam", "run_trainer"]
 
 
+def _fold_rgb_patch_embed(variables):
+    """Fold the 3-channel replication of grayscale slices into the patch
+    embed: ``Σ_c W_c ⊛ x = (Σ_c W_c) ⊛ x`` (exact; the sum runs in f32
+    before any compute-dtype cast). Kills the materialized
+    ``(B, H, W, 3)`` repeat and shrinks the 7×7 patch conv 3× — same
+    trick as the DINOv2 extractor (``models/dinov2.py:fold_patch_embed``)."""
+    params = variables.get("params", variables)
+    kernel = params["trunk"]["patch_embed"]["kernel"]
+    if kernel.shape[2] == 1:
+        return variables, False
+    pe = dict(params["trunk"]["patch_embed"])
+    pe["kernel"] = jnp.sum(kernel, axis=2, keepdims=True)
+    trunk = dict(params["trunk"])
+    trunk["patch_embed"] = pe
+    new_params = dict(params)
+    new_params["trunk"] = trunk
+    if "params" in variables:
+        out = dict(variables)
+        out["params"] = new_params
+        return out, True
+    return new_params, True
+
+
 class SamFeatureExtractor:
     """Jit-compiled Hiera+FPN pyramid extractor over slice batches."""
 
@@ -40,15 +63,19 @@ class SamFeatureExtractor:
         self,
         variables,
         cfg: SAM2Config | None = None,
-        batch_size: int = 64,
+        batch_size: int = 24,
         dtype=jnp.bfloat16,
     ) -> None:
         self.cfg = cfg or SAM2Config.large()
+        # batch 24 is the measured throughput sweet spot on TPU v5e for
+        # Hiera-L @512² (113.7 slices/s vs ~104 at 16/20/28/32, 101 at 64,
+        # 99 at 128 — the encoder is HBM-layout-bound, bigger batches only
+        # grow the intermediates). Callers (run_sam / configs) may override.
         # bf16 compute like the DINOv2 extractor and the SAM2 training
-        # forward (models/sam2/model.py:81). Measured throughput-neutral
-        # (61.5 slices/s either way — the encoder is not dtype-bound) but
-        # halves activation memory; fidelity vs f32: cosine 0.999999.
+        # forward (models/sam2/model.py:81); fidelity vs f32 on the FPN
+        # outputs: cosine ≥0.9999 per level.
         self.encoder = ImageEncoder(self.cfg, dtype=dtype)
+        variables, self._rgb_folded = _fold_rgb_patch_embed(variables)
         self.variables = jax.device_put(variables)
         self.batch_size = batch_size
         self._fn = None
@@ -60,10 +87,16 @@ class SamFeatureExtractor:
 
         @jax.jit
         def fn(variables, slices):  # (B, H, W) f32
-            x = jax.image.resize(
-                slices, (slices.shape[0], s, s), method="linear"
-            )
-            out = self.encoder.apply(variables, jnp.repeat(x[..., None], 3, axis=-1))
+            if slices.shape[1:] == (s, s):
+                x = slices  # same-size resize is NOT free: XLA keeps the
+                # identity gather/matmul pair unless we skip it here
+            else:
+                x = jax.image.resize(
+                    slices, (slices.shape[0], s, s), method="linear"
+                )
+            if not self._rgb_folded:
+                x = jnp.repeat(x[..., None], 3, axis=-1)
+            out = self.encoder.apply(variables, x)
             # fp16, channels-first for file-layout parity
             return {
                 "backbone_fpn": [
