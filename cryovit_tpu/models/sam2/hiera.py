@@ -117,6 +117,12 @@ class MultiScaleBlock(nn.Module):
     q_pool: bool = False
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    # input is ALREADY window-partitioned (B·nw, w, w, C): the trunk keeps
+    # consecutive windowed blocks in window-major layout (LN/MLP/residual
+    # are per-token, so only stage transitions / global blocks / stage
+    # outputs need the spatial layout) — the per-block partition round
+    # trips were ~18% of encoder device time (tools/op_profile.py)
+    pre_windowed: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -132,7 +138,7 @@ class MultiScaleBlock(nn.Module):
             shortcut = nn.max_pool(shortcut, (2, 2), strides=(2, 2))
 
         h, w = x.shape[1:3]
-        if self.window_size > 0:
+        if self.window_size > 0 and not self.pre_windowed:
             x, padded = _window_partition(x, self.window_size)
         attn = MultiScaleAttention(
             self.dim_out,
@@ -142,7 +148,7 @@ class MultiScaleBlock(nn.Module):
             name="attn",
         )
         x = attn(x)
-        if self.window_size > 0:
+        if self.window_size > 0 and not self.pre_windowed:
             win = self.window_size // (2 if self.q_pool else 1)
             out_hw = (h // 2, w // 2) if self.q_pool else (h, w)
             padded = tuple(p // 2 for p in padded) if self.q_pool else padded
@@ -206,10 +212,11 @@ class Hiera(nn.Module):
             total += s
             stage_ends.append(total - 1)
 
-        outputs: list[jnp.ndarray] = []
-        block_idx = 0
+        # per-block specs: (dim_out, heads_out, window, q_pool, is_stage_end)
+        specs = []
         dim = cfg.embed_dim
         heads = cfg.num_heads
+        block_idx = 0
         for stage, depth in enumerate(cfg.stages):
             window = cfg.window_spec[stage]
             for d in range(depth):
@@ -217,17 +224,79 @@ class Hiera(nn.Module):
                 dim_out = dim * 2 if first_of_stage else dim
                 heads_out = heads * 2 if first_of_stage else heads
                 is_global = block_idx in cfg.global_att_blocks
-                x = MultiScaleBlock(
-                    dim_out=dim_out,
-                    num_heads=heads_out,
-                    window_size=0 if is_global else window,
-                    q_pool=first_of_stage,
-                    mlp_ratio=cfg.mlp_ratio,
-                    dtype=self.dtype,
-                    name=f"block{block_idx}",
-                )(x)
+                specs.append(
+                    (
+                        dim_out,
+                        heads_out,
+                        0 if is_global else window,
+                        first_of_stage,
+                        block_idx in stage_ends,
+                    )
+                )
                 dim, heads = dim_out, heads_out
-                if block_idx in stage_ends:
-                    outputs.append(x)
                 block_idx += 1
+
+        def make_block(i, pre_windowed=False):
+            dim_out, heads_out, window, q_pool, _ = specs[i]
+            return MultiScaleBlock(
+                dim_out=dim_out,
+                num_heads=heads_out,
+                window_size=window,
+                q_pool=q_pool,
+                mlp_ratio=cfg.mlp_ratio,
+                dtype=self.dtype,
+                pre_windowed=pre_windowed,
+                name=f"block{i}",
+            )
+
+        # Window-persistent execution: consecutive windowed, non-pooling
+        # blocks run in window-major layout with ONE partition/unpartition
+        # round trip per run (per-block round trips measured ~18% of the
+        # encoder's device time). Runs break at q_pool blocks, global
+        # blocks, and stage ends (outputs need the spatial layout).
+        # Requires the window to tile the grid exactly — with pad tokens a
+        # persistent layout would let them EVOLVE through LN/MLP between
+        # blocks instead of re-zeroing each block (e.g. MedSAM-tiny's
+        # window 14 on a 32-grid); such blocks fall back to per-block
+        # partitioning, which zero-pads exactly like the published sam2.
+        outputs: list[jnp.ndarray] = []
+        gh_cur, gw_cur = gh, gw
+        i = 0
+        n_blocks = len(specs)
+        while i < n_blocks:
+            dim_out, heads_out, window, q_pool, stage_end = specs[i]
+            runnable = (
+                window > 0
+                and not q_pool
+                and gh_cur % window == 0
+                and gw_cur % window == 0
+            )
+            j = i
+            while (
+                runnable
+                and j < n_blocks
+                and specs[j][2] == window
+                and not specs[j][3]
+            ):
+                j += 1
+                if specs[j - 1][4]:  # stage end: output needs spatial layout
+                    break
+            if j - i >= 2:
+                # (flattening windows to (B·nw, 1, w², C) for fuller
+                # sublane tiles measured SLOWER — 121.6 → 119.8/108.6 —
+                # XLA's layout choices already handle the small windows)
+                x, padded = _window_partition(x, window)
+                for k in range(i, j):
+                    x = make_block(k, pre_windowed=True)(x)
+                x = _window_unpartition(x, window, padded, (gh_cur, gw_cur))
+                if specs[j - 1][4]:
+                    outputs.append(x)
+                i = j
+                continue
+            x = make_block(i)(x)
+            if q_pool:
+                gh_cur, gw_cur = gh_cur // 2, gw_cur // 2
+            if stage_end:
+                outputs.append(x)
+            i += 1
         return outputs

@@ -118,10 +118,12 @@ def _sam_batch():
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             variables,
         )
-    ex = SamFeatureExtractor(variables, batch_size=64)
+    ex = SamFeatureExtractor(variables)  # measured-sweet-spot batch
     fn = ex._batch_fn()
     rng = np.random.default_rng(0)
-    stack = jnp.asarray(rng.random((64, 512, 512)).astype(np.float32))
+    stack = jnp.asarray(
+        rng.random((ex.batch_size, 512, 512)).astype(np.float32)
+    )
     return lambda: fn(stack)
 
 
