@@ -169,6 +169,10 @@ class Hiera(nn.Module):
 
     cfg: HieraConfig = HieraConfig.large()
     dtype: Any = jnp.float32
+    # window-persistent execution (see the run loop below); False forces
+    # per-block partitioning everywhere — same math, used as the test
+    # oracle for the layout transform
+    window_persistent: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
@@ -266,7 +270,8 @@ class Hiera(nn.Module):
         while i < n_blocks:
             dim_out, heads_out, window, q_pool, stage_end = specs[i]
             runnable = (
-                window > 0
+                self.window_persistent
+                and window > 0
                 and not q_pool
                 and gh_cur % window == 0
                 and gw_cur % window == 0

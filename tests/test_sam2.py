@@ -493,3 +493,31 @@ def test_sam2_cached_features_path(tmp_path, rng, tiny_cfg):
     np.testing.assert_allclose(
         np.asarray(preds_cached), np.asarray(preds_fresh), atol=0.1
     )
+
+
+def test_hiera_window_persistent_matches_per_block(rng):
+    """The window-persistent layout (one partition round trip per run of
+    windowed blocks) is a pure layout transform: outputs must be
+    bit-identical to per-block partitioning whenever windows tile the
+    grid. A 128² input on the large config exercises both regimes —
+    stages 1/2 form multi-block runs (windows 8/4 tile grids 32/16)
+    while stage 3's window 16 exceeds its 8-grid and falls back."""
+    from cryovit_tpu.models.sam2.config import HieraConfig
+    from cryovit_tpu.models.sam2.hiera import Hiera
+
+    cfg = HieraConfig.large()
+    x = jnp.asarray(rng.random((1, 128, 128)), dtype=jnp.float32)
+    fast = Hiera(cfg, window_persistent=True)
+    slow = Hiera(cfg, window_persistent=False)
+    variables = jax.jit(fast.init)(jax.random.key(0), x)
+    # identical param trees: the layout change must not rename/move params
+    slow_vars = jax.jit(slow.init)(jax.random.key(0), x)
+    paths = lambda v: [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(v)
+    ]
+    assert paths(variables) == paths(slow_vars)
+    out_fast = jax.jit(fast.apply)(variables, x)
+    out_slow = jax.jit(slow.apply)(variables, x)
+    for a, b in zip(out_fast, out_slow):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
