@@ -54,6 +54,37 @@ def _extra_shapes(extractor, jnp, np) -> None:
     print("extra shapes:", file=sys.stderr)
     run(24, 1024, 1024)  # 4.2k tokens/slice — exercises the n>1280 block path
     run(32, 768, 512)  # non-square
+
+    # SAM2 Hiera-L+FPN pyramid extraction (the features --use-sam hot loop)
+    from cryovit_tpu.run.sam_features import (
+        SamFeatureExtractor,
+        make_sam_encoder_variables,
+    )
+
+    sam_vars = make_sam_encoder_variables("", random_init=True)
+    sam_ex = SamFeatureExtractor(sam_vars)  # measured-sweet-spot batch
+    sam_fn = sam_ex._batch_fn()
+    rng = np.random.default_rng(3)
+    sam_stacks = [
+        jnp.asarray(
+            rng.random((sam_ex.batch_size, 512, 512)).astype(np.float32)
+        )
+        for _ in range(8)
+    ]
+    float(jnp.sum(sam_fn(sam_stacks[0])["backbone_fpn"][0].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    sums = [
+        jnp.sum(sam_fn(s)["backbone_fpn"][0].astype(jnp.float32))
+        for s in sam_stacks
+    ]
+    for s in sums:
+        float(s)
+    dt = time.perf_counter() - t0
+    print(
+        f"  sam2 hiera-l pyramids (batch {sam_ex.batch_size}): "
+        f"{sam_ex.batch_size * len(sam_stacks) / dt:6.2f} slices/s",
+        file=sys.stderr,
+    )
     # multi-bucket: alternate shapes through one extractor (compile reuse)
     rng = np.random.default_rng(2)
     stacks = [
