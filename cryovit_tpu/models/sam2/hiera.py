@@ -62,6 +62,42 @@ class MultiScaleAttention(nn.Module):
         b, h, w, _ = x.shape
         head_dim = self.dim_out // self.num_heads
         qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+
+        if not self.q_pool and self.dtype != jnp.float32:
+            # per-head lane-slice attention: the head-major einsum layout
+            # forces XLA to materialize (n ↔ heads) transposes of the
+            # qkv-sized tensor; slicing each head's (b, n, d) directly off
+            # the projection's lane axis keeps tokens on sublanes and d on
+            # lanes end to end, so the per-head einsums carry no batch
+            # transposes at all. Math identical to the head-major path.
+            flat = qkv.reshape(b, h * w, 3 * self.dim_out)
+            C, d = self.dim_out, head_dim
+            scale = head_dim**-0.5
+            outs = []
+            for hh in range(self.num_heads):
+                qh = flat[..., hh * d : (hh + 1) * d]
+                kh = flat[..., C + hh * d : C + (hh + 1) * d]
+                vh = flat[..., 2 * C + hh * d : 2 * C + (hh + 1) * d]
+                s = jnp.einsum(
+                    "bnd,bmd->bnm", qh * scale, kh,
+                    preferred_element_type=jnp.float32,
+                ).astype(self.dtype)
+                p = jnp.exp(
+                    s
+                    - jax.lax.stop_gradient(
+                        jnp.max(s, axis=-1, keepdims=True)
+                    )
+                )
+                denom = jnp.sum(
+                    p.astype(jnp.float32), axis=-1, keepdims=True
+                )
+                attn = (p * (1.0 / denom).astype(self.dtype)).astype(
+                    vh.dtype
+                )
+                outs.append(jnp.einsum("bnm,bmd->bnd", attn, vh))
+            out = jnp.concatenate(outs, axis=-1).reshape(b, h, w, C)
+            return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
+
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
