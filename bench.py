@@ -62,7 +62,9 @@ def _extra_shapes(extractor, jnp, np) -> None:
     )
 
     sam_vars = make_sam_encoder_variables("", random_init=True)
-    sam_ex = SamFeatureExtractor(sam_vars)  # measured-sweet-spot batch
+    sam_ex = SamFeatureExtractor(
+        sam_vars, quant_int8="--int8" in sys.argv
+    )  # measured-sweet-spot batch
     sam_fn = sam_ex._batch_fn()
     rng = np.random.default_rng(3)
     sam_stacks = [

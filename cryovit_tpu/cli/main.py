@@ -111,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
             from cryovit_tpu.run.sam_features import run_sam
 
             run_sam(files, result, batch_size=args.batch_size,
-                    random_init=args.random_init)
+                    random_init=args.random_init, quant_int8=args.int8)
         else:
             from cryovit_tpu.run.dino_features import run_dino
 

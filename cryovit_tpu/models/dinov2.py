@@ -111,31 +111,13 @@ def _scaled_resize_matrix(in_size: int, out_size: int, scale: float) -> jnp.ndar
     return jnp.asarray(mat, dtype=jnp.float32)
 
 
-def _int8_quant(x: jnp.ndarray, axis) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Symmetric int8 quantization over the contraction axis/axes.
-
-    Returns ``(values int8, scale f32 with `axis` kept as size-1)`` such
-    that ``values · scale ≈ x``. Used by the opt-in w8a8 extraction mode:
-    the v5e MXU runs int8×int8→int32 at ~1.5× its bf16 rate (measured
-    269 vs 182 T/s on the MLP shape, tools/mxu_probe.py), so the four
-    projection matmuls — the ≥81%-MXU ops that dominate the extractor —
-    quantize per-token (activations) / per-output-channel (weights) on
-    the fly. The flash-attention kernel, LayerNorms, and the residual
-    stream stay bf16/f32."""
-    ax = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(ax), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
-    q = jnp.clip(jnp.round(ax / scale), -127.0, 127.0).astype(jnp.int8)
-    return q, scale
-
-
-def _qeinsum(spec: str, x, w, sx, sw, out_sx, out_sw, dtype):
-    """int8 einsum + f32 dequantization epilogue → ``dtype``.
-
-    ``out_sx``/``out_sw`` reshape the kept activation/weight scales to
-    broadcast against the einsum output."""
-    out = jnp.einsum(spec, x, w, preferred_element_type=jnp.int32)
-    return (out.astype(jnp.float32) * out_sx(sx) * out_sw(sw)).astype(dtype)
+# w8a8 helpers shared with the SAM2 Hiera trunk: the four projection
+# matmuls — the ≥81%-MXU ops that dominate the extractor — quantize
+# per-token (activations) / per-output-channel (weights) on the fly. The
+# flash-attention kernel, LayerNorms, and the residual stream stay
+# bf16/f32.
+from cryovit_tpu.ops.quant import int8_quant as _int8_quant
+from cryovit_tpu.ops.quant import qeinsum as _qeinsum
 
 
 class _ProjParams(nn.Module):

@@ -49,11 +49,16 @@ class ImageEncoder(nn.Module):
 
     cfg: SAM2Config = SAM2Config.large()
     dtype: Any = jnp.float32
+    # opt-in w8a8 qkv/mlp_fc1 projections in the trunk (hiera._Dense);
+    # the FPN 1×1 convs are a negligible share and stay at ``dtype``
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> dict[str, list[jnp.ndarray]]:
         cfg = self.cfg
-        trunk_outs = Hiera(cfg.hiera, dtype=self.dtype, name="trunk")(x)
+        trunk_outs = Hiera(
+            cfg.hiera, dtype=self.dtype, quant_int8=self.quant_int8, name="trunk"
+        )(x)
         # lateral 1×1 convs, low-res → high-res processing with top-down adds
         n = len(trunk_outs)
         laterals = [

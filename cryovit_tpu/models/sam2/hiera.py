@@ -20,9 +20,39 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cryovit_tpu.models.sam2.config import HieraConfig
+from cryovit_tpu.ops.quant import int8_quant
 from cryovit_tpu.ops.resize import bicubic_resize_matrix
 
 __all__ = ["Hiera"]
+
+
+class _Dense(nn.Module):
+    """``nn.Dense``-compatible projection ({kernel, bias} tree, lecun-normal
+    init) with an opt-in w8a8 path (``ops/quant.py``): per-token activation
+    / per-output-channel weight int8 scales, int8×int8→int32 on the MXU,
+    f32 dequant epilogue. Only the qkv and mlp_fc1 projections opt in —
+    quantizing the attention out-proj / mlp_fc2 costs an abs-max + round
+    HBM pass over their (large) inputs that cancels the matmul saving
+    (measured wash on the DINOv2 extractor, BASELINE.md w8a8 attribution).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    quant_int8: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        bias_d = bias.astype(self.dtype)
+        if not self.quant_int8:
+            return x.astype(self.dtype) @ kernel.astype(self.dtype) + bias_d
+        xq, sx = int8_quant(x, axis=-1)  # (..., C) int8, (..., 1) f32
+        wq, sw = int8_quant(kernel, axis=0)  # (C, D) int8, (1, D) f32
+        out = jnp.einsum("...c,cd->...d", xq, wq, preferred_element_type=jnp.int32)
+        return (out.astype(jnp.float32) * sx * sw).astype(self.dtype) + bias_d
 
 
 def _window_partition(x: jnp.ndarray, w: int) -> tuple[jnp.ndarray, tuple[int, int]]:
@@ -56,12 +86,18 @@ class MultiScaleAttention(nn.Module):
     num_heads: int
     q_pool: bool = False
     dtype: Any = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, _ = x.shape
         head_dim = self.dim_out // self.num_heads
-        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+        qkv = _Dense(
+            3 * self.dim_out,
+            dtype=self.dtype,
+            quant_int8=self.quant_int8,
+            name="qkv",
+        )(x)
 
         if not self.q_pool and self.dtype != jnp.float32:
             # per-head lane-slice attention: the head-major einsum layout
@@ -153,6 +189,7 @@ class MultiScaleBlock(nn.Module):
     q_pool: bool = False
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    quant_int8: bool = False
     # input is ALREADY window-partitioned (B·nw, w, w, C): the trunk keeps
     # consecutive windowed blocks in window-major layout (LN/MLP/residual
     # are per-token, so only stage transitions / global blocks / stage
@@ -181,6 +218,7 @@ class MultiScaleBlock(nn.Module):
             self.num_heads,
             q_pool=self.q_pool,
             dtype=self.dtype,
+            quant_int8=self.quant_int8,
             name="attn",
         )
         x = attn(x)
@@ -192,8 +230,11 @@ class MultiScaleBlock(nn.Module):
 
         x = shortcut + x
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(
-            int(self.dim_out * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1"
+        y = _Dense(
+            int(self.dim_out * self.mlp_ratio),
+            dtype=self.dtype,
+            quant_int8=self.quant_int8,
+            name="mlp_fc1",
         )(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(y)
@@ -209,6 +250,8 @@ class Hiera(nn.Module):
     # per-block partitioning everywhere — same math, used as the test
     # oracle for the layout transform
     window_persistent: bool = True
+    # opt-in w8a8 qkv/mlp_fc1 projections (see _Dense); never the default
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
@@ -285,6 +328,7 @@ class Hiera(nn.Module):
                 q_pool=q_pool,
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
+                quant_int8=self.quant_int8,
                 pre_windowed=pre_windowed,
                 name=f"block{i}",
             )

@@ -65,6 +65,7 @@ class SamFeatureExtractor:
         cfg: SAM2Config | None = None,
         batch_size: int = 24,
         dtype=jnp.bfloat16,
+        quant_int8: bool = False,
     ) -> None:
         self.cfg = cfg or SAM2Config.large()
         # batch 24 is the measured throughput sweet spot on TPU v5e for
@@ -74,7 +75,9 @@ class SamFeatureExtractor:
         # bf16 compute like the DINOv2 extractor and the SAM2 training
         # forward (models/sam2/model.py:81); fidelity vs f32 on the FPN
         # outputs: cosine ≥0.9999 per level.
-        self.encoder = ImageEncoder(self.cfg, dtype=dtype)
+        # quant_int8: opt-in w8a8 trunk projections (``--int8``), same
+        # deal as the DINOv2 extractor's mode — measured in BASELINE.md.
+        self.encoder = ImageEncoder(self.cfg, dtype=dtype, quant_int8=quant_int8)
         variables, self._rgb_folded = _fold_rgb_patch_embed(variables)
         self.variables = jax.device_put(variables)
         self.batch_size = batch_size
@@ -171,6 +174,7 @@ def run_sam(
     random_init: bool = False,
     sam_cfg: SAM2Config | None = None,
     model_dir: str | Path | None = None,
+    quant_int8: bool = False,
 ) -> list[Path]:
     """CLI path: extract SAM pyramids for explicit tomogram files."""
     from cryovit_tpu.config import compose
@@ -180,7 +184,9 @@ def run_sam(
         # resolve paths.model_dir/SAM2 from the sam_features config
         model_dir = compose("sam_features", [f"batch_size={batch_size}"]).model_dir
     variables = make_sam_encoder_variables(model_dir, sam_cfg, random_init)
-    extractor = SamFeatureExtractor(variables, cfg=sam_cfg, batch_size=batch_size)
+    extractor = SamFeatureExtractor(
+        variables, cfg=sam_cfg, batch_size=batch_size, quant_int8=quant_int8
+    )
     written = []
     for f in train_data:
         data, _ = load_data(f)

@@ -521,3 +521,26 @@ def test_hiera_window_persistent_matches_per_block(rng):
     out_slow = jax.jit(slow.apply)(variables, x)
     for a, b in zip(out_fast, out_slow):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_encoder_int8_mode_fidelity(tiny_cfg, rng):
+    """The opt-in w8a8 trunk mode (``--int8``, hiera._Dense) must keep the
+    same parameter tree as the bf16 path (converter compatibility) and
+    stay close to it numerically on every FPN level."""
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), dtype=jnp.float32)
+    ref = ImageEncoder(tiny_cfg, dtype=jnp.bfloat16)
+    q = ImageEncoder(tiny_cfg, dtype=jnp.bfloat16, quant_int8=True)
+    variables = jax.jit(ref.init)(jax.random.key(0), x)
+    q_vars = jax.jit(q.init)(jax.random.key(0), x)
+    paths = lambda v: [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(v)
+    ]
+    assert paths(variables) == paths(q_vars)
+    out_ref = jax.jit(ref.apply)(variables, x)
+    out_q = jax.jit(q.apply)(variables, x)
+    for a, b in zip(out_ref["backbone_fpn"], out_q["backbone_fpn"]):
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.99, cos

@@ -118,7 +118,9 @@ def _sam_batch():
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             variables,
         )
-    ex = SamFeatureExtractor(variables)  # measured-sweet-spot batch
+    ex = SamFeatureExtractor(
+        variables, quant_int8="--int8" in sys.argv
+    )  # measured-sweet-spot batch
     fn = ex._batch_fn()
     rng = np.random.default_rng(0)
     stack = jnp.asarray(
