@@ -40,7 +40,77 @@ def time_variant(name, extractor, stacks):
     return rate
 
 
+def time_train_step(cached: bool, depth: int = 8):
+    """SAM2-large train step (frozen Hiera-L + LoRA decoder + prompt
+    predictor, AdamW, bf16), full encoder forward or cached pyramids."""
+    import optax
+
+    from cryovit_tpu.config import compose
+    from cryovit_tpu.models.base import prediction_mask
+    from cryovit_tpu.run.common import build_model
+
+    cfg = compose(
+        "train_model", ["model=sam2", "datamodule=single", "label_key=mito"]
+    )
+    model = build_model(cfg, "bf16")
+    s = model_img = 512
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(
+        rng.random((1, depth, s, s, 1)).astype(np.float32)
+    )
+    label = jnp.asarray(
+        rng.integers(-1, 2, size=(1, depth, s, s)).astype(np.float32)
+    )
+    variables = model.init(jax.random.key(0), data)
+    if cached:
+        d_model = model.sam_cfg.d_model
+        levels = tuple(
+            jnp.asarray(
+                rng.random((depth, model_img // st, model_img // st, d_model))
+                .astype(np.float32)
+            )
+            for st in (4, 8, 16)
+        )
+        inputs = {"slices": data, "backbone": {
+            "backbone_fpn": levels, "vision_pos_enc": levels}}
+    else:
+        inputs = data
+    opt = model.make_optimizer(gradient_clip_val=1.0)
+    opt_state = opt.init(variables)
+
+    @jax.jit
+    def step(v, st, inp, lab):
+        def loss_fn(v):
+            preds, aux = model.apply_with_aux(v, inp)
+            losses = model.compute_losses(
+                preds, lab, prediction_mask(lab), aux=aux
+            )
+            return losses["total"], losses
+
+        (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(v)
+        updates, st = opt.update(grads, st, v)
+        return optax.apply_updates(v, updates), st, total
+
+    variables, opt_state, total = step(variables, opt_state, inputs, label)
+    float(total)  # warmup + force
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        variables, opt_state, total = step(variables, opt_state, inputs, label)
+    float(total)
+    dt = (time.perf_counter() - t0) / n
+    name = "cached pyramids" if cached else "full encoder fwd"
+    print(
+        f"train step ({name}, {depth} slices @512²): {dt * 1e3:7.1f} ms "
+        f"({depth / dt:5.1f} slices/s)"
+    )
+
+
 def main():
+    if "--train" in sys.argv:
+        time_train_step(cached=False)
+        time_train_step(cached=True)
+        return
     batch = 24
     if "--batch" in sys.argv:
         batch = int(sys.argv[sys.argv.index("--batch") + 1])
