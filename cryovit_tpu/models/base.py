@@ -28,6 +28,29 @@ __all__ = ["BaseModel", "prediction_mask"]
 LossFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def _call_masked_fn(fn, y_pred, y_true, mask, axis_name):
+    """Call a loss/metric fn, forwarding ``axis_name`` when it takes one.
+
+    Built-in losses/metrics accept ``axis_name`` and psum their sums across
+    the shard_map data axis; user-supplied callables without the parameter
+    run shard-locally (the trainer then only uses them via the GSPMD path,
+    where sums are global by construction)."""
+    if axis_name is None:
+        return fn(y_pred, y_true, mask)
+    try:
+        import inspect
+
+        params = inspect.signature(fn).parameters
+        takes_axis = "axis_name" in params or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+    except (TypeError, ValueError):
+        takes_axis = False
+    if takes_axis:
+        return fn(y_pred, y_true, mask, axis_name=axis_name)
+    return fn(y_pred, y_true, mask)
+
+
 def prediction_mask(
     y_true: jnp.ndarray, aux_mask: jnp.ndarray | None = None
 ) -> jnp.ndarray:
@@ -107,21 +130,36 @@ class BaseModel:
         y_true: jnp.ndarray,
         mask: jnp.ndarray,
         aux: dict[str, jnp.ndarray] | None = None,
+        axis_name: str | None = None,
     ) -> dict[str, jnp.ndarray]:
         """Evaluate all losses and sum into ``total`` (reference
         ``base_model.py:114-119``). Keys are the config names (``dice_loss``)
         — they flow into the metrics CSVs, so they must match the reference
-        column names. ``aux`` carries model-specific extra outputs."""
-        out = {key: fn(y_pred, y_true, mask) for key, fn in self.losses.items()}
+        column names. ``aux`` carries model-specific extra outputs.
+
+        ``axis_name`` names a ``shard_map`` data-parallel axis: losses that
+        support it psum their masked sums across shards so the dp loss is
+        exactly the global-batch loss (``train/loop.py`` dp step)."""
+        out = {
+            key: _call_masked_fn(fn, y_pred, y_true, mask, axis_name)
+            for key, fn in self.losses.items()
+        }
         out["total"] = sum(out.values())
         return out
 
     def compute_metrics(
-        self, y_pred: jnp.ndarray, y_true: jnp.ndarray, mask: jnp.ndarray
+        self,
+        y_pred: jnp.ndarray,
+        y_true: jnp.ndarray,
+        mask: jnp.ndarray,
+        axis_name: str | None = None,
     ) -> dict[str, jnp.ndarray]:
         """Metric keys are config names (``dice_metric``/``f1_metric``),
         matching the reference CSV columns (``callbacks.py:145-206``)."""
-        return {key: fn(y_pred, y_true, mask) for key, fn in self.metrics.items()}
+        return {
+            key: _call_masked_fn(fn, y_pred, y_true, mask, axis_name)
+            for key, fn in self.metrics.items()
+        }
 
     # ---- optimizer -------------------------------------------------------
 

@@ -78,6 +78,7 @@ from cryovit_tpu.ops.conv3d_dm import (
     conv3d_dm,
     conv3d_dm_supported,
     conv3d_kernel_enabled,
+    conv3d_kernel_interpret,
 )
 
 
@@ -93,7 +94,7 @@ def _conv_dm_dispatch(x, kernel, dilation):
     if conv3d_kernel_enabled() and conv3d_dm_supported(
         x.shape, kernel.shape, dilation
     ):
-        return conv3d_dm(x, kernel, dilation)
+        return conv3d_dm(x, kernel, dilation, interpret=conv3d_kernel_interpret())
     return jax.lax.conv_general_dilated(
         x,
         kernel,
@@ -233,7 +234,7 @@ def _conv_dm_bwd(dilation, res, g):
         # the XLA fallback below re-reads x per tap
         from cryovit_tpu.ops.conv3d_dm import conv3d_dm_dw
 
-        dw = conv3d_dm_dw(x, g, dilation)
+        dw = conv3d_dm_dw(x, g, dilation, interpret=conv3d_kernel_interpret())
         return dx.astype(x.dtype), dw.astype(kernel.dtype)
     # weight grad tap-by-tap as plain contractions:
     #   dW[t, ci, co] = Σ_{b,p} x[b, p + (t−1)·dil, ci] · g[b, p, co]
@@ -288,7 +289,7 @@ def _convt_dispatch(x, kernel):
     if conv3d_kernel_enabled() and convt2x_dm_supported(
         x.shape, kernel.shape, x.dtype
     ):
-        return convt2x_dm(x, kernel)
+        return convt2x_dm(x, kernel, interpret=conv3d_kernel_interpret())
     return jax.lax.conv_transpose(
         x,
         kernel,
@@ -318,7 +319,9 @@ def _convt_bwd(res, g):
     if conv3d_kernel_enabled() and convt2x_dm_supported(
         x.shape, kernel.shape, x.dtype
     ):
-        dx, dw = convt2x_dm_bwd(g.astype(x.dtype), x, kernel)
+        dx, dw = convt2x_dm_bwd(
+            g.astype(x.dtype), x, kernel, interpret=conv3d_kernel_interpret()
+        )
         return dx.astype(x.dtype), dw.astype(kernel.dtype)
     # XLA fallback. Forward places tap (a,c) at output parity (1−a,1−c)
     # (see ops/convt_dm.py), so:

@@ -656,6 +656,7 @@ def make_dinov2(
     residual_dtype: Any = None,
     quant_int8: bool = False,
     fused_ln: bool | None = None,
+    flash_interpret: bool = False,
 ) -> DinoV2:
     """Build the extractor module, selecting the attention kernel.
 
@@ -686,10 +687,21 @@ def make_dinov2(
             flash_attention_pairs,
         )
 
+        # flash_interpret: run the Pallas kernel in interpret mode — used
+        # by the CPU-mesh dryrun/tests to execute the *kernel* path inside
+        # shard_map without TPU hardware (parallel/mesh shard_map story)
         if pair_heads:
-            pair_attention_fn = flash_attention_pairs
+            pair_attention_fn = (
+                partial(flash_attention_pairs, interpret=True)
+                if flash_interpret
+                else flash_attention_pairs
+            )
         else:
-            qkv_attention_fn = flash_attention_bhnd
+            qkv_attention_fn = (
+                partial(flash_attention_bhnd, interpret=True)
+                if flash_interpret
+                else flash_attention_bhnd
+            )
     if fused_ln is None:
         # measured OFF-by-default: on v5e the Pallas fused residual+LN op
         # is a consistent ~5% end-to-end LOSS (57.2 → 54.2 slices/s at

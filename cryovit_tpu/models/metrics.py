@@ -16,18 +16,30 @@ import jax.numpy as jnp
 __all__ = ["dice_metric", "f1_metric", "DiceMetric", "F1Metric", "MetricState"]
 
 
+def _gsum(x: jnp.ndarray, axis_name: str | None) -> jnp.ndarray:
+    """Global masked sum (psum across a shard_map axis when named) — see
+    ``losses._gsum``: makes dp-sharded metrics exactly the global value
+    (psum outside the gradient path; metrics are not differentiated, but
+    keeping the two helpers identical avoids a footgun)."""
+    s = jnp.sum(x)
+    if axis_name is None:
+        return s
+    return s + jax.lax.stop_gradient(jax.lax.psum(s, axis_name) - s)
+
+
 def dice_metric(
     y_pred: jnp.ndarray,
     y_true: jnp.ndarray,
     mask: jnp.ndarray,
     threshold: float = 0.5,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Hard-threshold Dice score over masked voxels (reference ``metrics.py:31-46``)."""
     mask = mask.astype(jnp.float32)
     y_true = y_true.astype(jnp.float32) * mask
     hard = jnp.where(y_pred < threshold, 0.0, 1.0) * mask
-    intersection = jnp.sum(y_true * hard)
-    denom = jnp.sum(y_true) + jnp.sum(hard)
+    intersection = _gsum(y_true * hard, axis_name)
+    denom = _gsum(y_true, axis_name) + _gsum(hard, axis_name)
     return 2.0 * intersection / (denom + 1e-3)
 
 
@@ -36,14 +48,15 @@ def f1_metric(
     y_true: jnp.ndarray,
     mask: jnp.ndarray,
     threshold: float = 0.5,
+    axis_name: str | None = None,
 ) -> jnp.ndarray:
     """Per-batch F1 at ``threshold`` (reference ``metrics.py:74-87``)."""
     mask = mask.astype(jnp.float32)
     y_true = y_true.astype(jnp.float32)
     hard = (y_pred > threshold).astype(jnp.float32)
-    tp = jnp.sum(y_true * hard * mask)
-    fp = jnp.sum((1.0 - y_true) * hard * mask)
-    fn = jnp.sum(y_true * (1.0 - hard) * mask)
+    tp = _gsum(y_true * hard * mask, axis_name)
+    fp = _gsum((1.0 - y_true) * hard * mask, axis_name)
+    fn = _gsum(y_true * (1.0 - hard) * mask, axis_name)
     precision = tp / (tp + fp + 1e-6)
     recall = tp / (tp + fn + 1e-6)
     return 2.0 * precision * recall / (precision + recall + 1e-6)
@@ -84,8 +97,10 @@ class DiceMetric:
     def __init__(self, threshold: float = 0.5, **_: object) -> None:
         self.threshold = threshold
 
-    def __call__(self, y_pred, y_true, mask):
-        return dice_metric(y_pred, y_true, mask, threshold=self.threshold)
+    def __call__(self, y_pred, y_true, mask, axis_name=None):
+        return dice_metric(
+            y_pred, y_true, mask, threshold=self.threshold, axis_name=axis_name
+        )
 
 
 class F1Metric:
@@ -97,5 +112,7 @@ class F1Metric:
     def __init__(self, threshold: float = 0.5, **_: object) -> None:
         self.threshold = threshold
 
-    def __call__(self, y_pred, y_true, mask):
-        return f1_metric(y_pred, y_true, mask, threshold=self.threshold)
+    def __call__(self, y_pred, y_true, mask, axis_name=None):
+        return f1_metric(
+            y_pred, y_true, mask, threshold=self.threshold, axis_name=axis_name
+        )

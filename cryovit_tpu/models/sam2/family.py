@@ -274,12 +274,14 @@ class SAM2(BaseModel):
             out = self.module.apply(variables, data)
         return out["preds"], {"prompts": out["prompts"]}
 
-    def compute_losses(self, y_pred, y_true, mask, aux=None):
-        losses = super().compute_losses(y_pred, y_true, mask)
+    def compute_losses(self, y_pred, y_true, mask, aux=None, axis_name=None):
+        losses = super().compute_losses(y_pred, y_true, mask, axis_name=axis_name)
         if aux and "prompts" in aux:
             # dice loss on the predicted dense prompts (reference
             # ``models/sam2.py:145-148``), supervising the PromptPredictor
-            losses["mask_loss"] = dice_loss(aux["prompts"], y_true, mask)
+            losses["mask_loss"] = dice_loss(
+                aux["prompts"], y_true, mask, axis_name=axis_name
+            )
             losses["total"] = losses["total"] + losses["mask_loss"]
         return losses
 

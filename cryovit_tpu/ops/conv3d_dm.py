@@ -46,29 +46,40 @@ __all__ = [
     "conv3d_dm_reference",
     "conv3d_dm_supported",
     "conv3d_kernel_enabled",
+    "conv3d_kernel_interpret",
     "set_conv3d_kernel",
 ]
 
-# Tri-state kernel switch. None = auto: use the Pallas kernel whenever the
-# default backend is a real TPU. GSPMD cannot partition a pallas_call, so a
-# program whose decoder inputs are *depth-sharded* across a mesh (the
+# Kernel switch. None = auto: use the Pallas kernel whenever the default
+# backend is a real TPU. GSPMD cannot partition a pallas_call, so a program
+# whose decoder inputs are *GSPMD-sharded* across a mesh (the depth-sharded
 # batch=1 pod-training path, ``parallel/spatial.py``) must run the XLA conv
 # instead — callers building such programs call ``set_conv3d_kernel(False)``
-# first (the CPU-mesh tests and driver dryrun take the XLA path already via
-# the backend check).
-_FORCE_KERNEL: bool | None = None
+# first. Data-parallel mesh programs instead go through ``jax.shard_map``
+# (``train/loop.py``), inside which each device runs its own unsharded
+# pallas_call — kernels stay ON there. ``"interpret"`` enables the kernels
+# in Pallas interpret mode (jax-ops emulation) so CPU-mesh tests and the
+# driver dryrun can execute the *kernel* path inside shard_map without TPU
+# hardware.
+_FORCE_KERNEL: bool | str | None = None
 
 
-def set_conv3d_kernel(enabled: bool | None) -> None:
-    """Force the Pallas conv on/off, or ``None`` to restore auto."""
+def set_conv3d_kernel(enabled: bool | str | None) -> None:
+    """Force the Pallas conv on/off, ``"interpret"`` for interpret-mode
+    execution (CPU-testable), or ``None`` to restore auto."""
     global _FORCE_KERNEL
     _FORCE_KERNEL = enabled
 
 
 def conv3d_kernel_enabled() -> bool:
     if _FORCE_KERNEL is not None:
-        return _FORCE_KERNEL
+        return bool(_FORCE_KERNEL)
     return jax.default_backend() not in ("cpu",)
+
+
+def conv3d_kernel_interpret() -> bool:
+    """Whether kernel dispatch sites should run Pallas in interpret mode."""
+    return _FORCE_KERNEL == "interpret"
 
 
 def conv3d_dm_reference(x, kernel, dilation=(1, 1, 1)):

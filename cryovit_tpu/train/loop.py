@@ -108,15 +108,18 @@ class Trainer:
 
     # ---- step builders --------------------------------------------------
 
-    def _kernel_guard(self):
-        """GSPMD cannot partition a pallas_call: a mesh trainer may
-        depth-shard batch=1 inputs (parallel/spatial.py), so any step
-        traced inside a multi-device run must take the XLA conv path
-        instead of the Pallas tail kernels (ops/conv3d_dm.py docstring).
-        Scoped (not a permanent global toggle): jit caches the traced
-        program, so steps first called inside the guard stay XLA-path for
-        their lifetime, while later single-chip work re-enables the
-        kernels."""
+    def _gspmd_kernel_guard(self):
+        """XLA-conv guard for steps traced as GSPMD mesh programs only.
+
+        Data-parallel batches run through the ``shard_map`` steps below,
+        inside which every device traces its own unsharded per-shard
+        program — the Pallas conv/convT kernels survive multi-chip there
+        untouched. This guard covers the remaining GSPMD fallbacks (the
+        depth-sharded batch=1 path of ``parallel/spatial.py`` and the
+        replicate fallback), where the decoder inputs themselves are
+        sharded inside one traced program and GSPMD cannot partition a
+        pallas_call. Scoped per call: the flag is read at trace time, and
+        jit caches keep each step's traced choice for its lifetime."""
         import contextlib
 
         if self.mesh is None or self.mesh.size <= 1:
@@ -133,6 +136,19 @@ class Trainer:
                 set_conv3d_kernel(None)
 
         return guard()
+
+    def _dp_eligible(self, inputs, label) -> bool:
+        """Whether a batch can take the shard_map data-parallel step: plain
+        array inputs (SAM2's dict pyramids stay on the GSPMD path) whose
+        batch axis divides the mesh."""
+        if self.mesh is None or self.mesh.size <= 1:
+            return False
+        if isinstance(inputs, dict) or not hasattr(inputs, "shape"):
+            return False
+        n = self.mesh.shape.get("data", self.mesh.size)
+        if n != self.mesh.size:
+            return False  # model-parallel meshes keep the GSPMD path
+        return inputs.shape[0] % n == 0 and label.shape[0] % n == 0
 
     def _train_step_fn(self, model: BaseModel, optimizer) -> Callable:
         def step(state: TrainState, data, label):
@@ -163,6 +179,107 @@ class Trainer:
 
         donate = (0,) if self.donate_state else ()
         return jax.jit(step, donate_argnums=donate)
+
+    def _train_step_dp_fn(self, model: BaseModel, optimizer) -> Callable:
+        """shard_map data-parallel train step (the multi-chip default).
+
+        Each device runs the full per-shard program — forward, masked loss,
+        backward — with the Pallas conv/convT kernels intact (GSPMD cannot
+        partition a pallas_call; shard_map sidesteps GSPMD entirely). The
+        losses/metrics psum their masked sums over ``"data"`` (exactly the
+        global-batch values, see ``models/losses._gsum``), and the local
+        gradients psum into the true global gradient before the (replicated)
+        optimizer update. XLA compiles the psums to ICI all-reduces."""
+        from jax.sharding import PartitionSpec as P
+
+        axis = "data"
+
+        def step(state: TrainState, data, label):
+            def loss_fn(params):
+                preds, aux = model.apply_with_aux(params, data)
+                mask = prediction_mask(label)
+                losses = model.compute_losses(
+                    preds, label, mask, aux=aux, axis_name=axis
+                )
+                return losses["total"], (losses, preds, mask)
+
+            (_, (losses, preds, mask)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            # the global loss is already psum-of-sums; each device's grad
+            # carries only its local data's path, so the total gradient of
+            # the replicated params is the psum of the local grads
+            grads = jax.lax.psum(grads, axis)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params, opt_state, state.step + 1)
+            logs = {f"train_{k}": v for k, v in losses.items()}
+            logs.update(
+                {
+                    f"train_{k}": v
+                    for k, v in model.compute_metrics(
+                        preds, label, mask, axis_name=axis
+                    ).items()
+                }
+            )
+            pre_norm = _global_norm(grads)
+            logs["grad_norm_preclip"] = pre_norm
+            logs["grad_norm"] = self._postclip_norm(grads, pre_norm)
+            return new_state, logs
+
+        sharded = jax.shard_map(
+            step,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            # pallas_call carries no vma annotations; out replication holds
+            # by construction (grads/losses/metrics are psum-ed over axis)
+            check_vma=False,
+        )
+        donate = (0,) if self.donate_state else ()
+        return jax.jit(sharded, donate_argnums=donate)
+
+    def _eval_step_dp_fn(self, model: BaseModel) -> Callable:
+        """shard_map data-parallel eval step (no aux mask; the mito-masked
+        test path keeps the GSPMD fallback). Losses/metrics are global via
+        psum-of-sums; predictions come back batch-sharded."""
+        from jax.sharding import PartitionSpec as P
+
+        axis = "data"
+
+        def step(params, data, label):
+            preds, aux = model.apply_with_aux(params, data)
+            mask = prediction_mask(label)
+            losses = model.compute_losses(
+                preds, label, mask, aux=aux, axis_name=axis
+            )
+            metrics = model.compute_metrics(preds, label, mask, axis_name=axis)
+            return preds, losses, metrics
+
+        return jax.jit(
+            jax.shard_map(
+                step,
+                mesh=self.mesh,
+                in_specs=(P(), P(axis), P(axis)),
+                out_specs=(P(axis), P(), P()),
+                check_vma=False,
+            )
+        )
+
+    def _predict_step_dp_fn(self, model: BaseModel) -> Callable:
+        from jax.sharding import PartitionSpec as P
+
+        return jax.jit(
+            jax.shard_map(
+                lambda params, data: model.apply(params, data),
+                mesh=self.mesh,
+                in_specs=(P(), P("data")),
+                out_specs=P("data"),
+                check_vma=False,
+            )
+        )
 
     def _postclip_norm(self, grads, pre_norm: jnp.ndarray) -> jnp.ndarray:
         """Global grad norm *after* clipping (reference telemetry,
@@ -218,10 +335,9 @@ class Trainer:
         ckpt_path: str | Path | None = None,
         pretrained_variables=None,
     ) -> TrainState:
-        with self._kernel_guard():
-            return self._fit(
-                model, datamodule, variables, ckpt_path, pretrained_variables
-            )
+        return self._fit(
+            model, datamodule, variables, ckpt_path, pretrained_variables
+        )
 
     def _fit(
         self,
@@ -275,6 +391,9 @@ class Trainer:
 
         train_step = self._train_step_fn(model, optimizer)
         eval_step = self._eval_step_fn(model)
+        multi = self.mesh is not None and self.mesh.size > 1
+        train_step_dp = self._train_step_dp_fn(model, optimizer) if multi else None
+        eval_step_dp = self._eval_step_dp_fn(model) if multi else None
         swa = next(
             (c for c in self.callbacks if isinstance(c, StochasticWeightAveraging)),
             None,
@@ -295,9 +414,12 @@ class Trainer:
                     if prepare is not None
                     else jnp.asarray(placed.data)
                 )
-                state, logs = train_step(
-                    state, inputs, jnp.asarray(placed.label)
-                )
+                label = jnp.asarray(placed.label)
+                if train_step_dp is not None and self._dp_eligible(inputs, label):
+                    state, logs = train_step_dp(state, inputs, label)
+                else:
+                    with self._gspmd_kernel_guard():
+                        state, logs = train_step(state, inputs, label)
                 step_num = int(state.step)
                 if step_num % self.log_every_n_steps == 0:
                     self._log(step_num, logs)
@@ -306,7 +428,8 @@ class Trainer:
             model.train_mode = False
             if val_loader is not None:
                 vals = self._run_eval_epoch(
-                    eval_step, state.params, val_loader, prepare=prepare
+                    eval_step, state.params, val_loader, prepare=prepare,
+                    eval_step_dp=eval_step_dp,
                 )
                 epoch_logs.update({f"val_{k}": v for k, v in vals.items()})
             epoch_logs["epoch_time_s"] = time.perf_counter() - t0
@@ -332,7 +455,7 @@ class Trainer:
         return state
 
     def _run_eval_epoch(
-        self, eval_step, params, loader, prepare=None
+        self, eval_step, params, loader, prepare=None, eval_step_dp=None
     ) -> dict[str, float]:
         sums: dict[str, float] = {}
         count = 0
@@ -343,15 +466,15 @@ class Trainer:
                 if prepare is not None
                 else jnp.asarray(placed.data)
             )
+            label = jnp.asarray(placed.label)
             # fit-time validation uses only the y>-1 mask; the ground-truth
             # mito mask applies to test only (reference test_step vs
             # validation_step, base_model.py:166-241)
-            _, losses, metrics = eval_step(
-                params,
-                inputs,
-                jnp.asarray(placed.label),
-                None,
-            )
+            if eval_step_dp is not None and self._dp_eligible(inputs, label):
+                _, losses, metrics = eval_step_dp(params, inputs, label)
+            else:
+                with self._gspmd_kernel_guard():
+                    _, losses, metrics = eval_step(params, inputs, label, None)
             for k, v in {**losses, **metrics}.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
             count += 1
@@ -380,11 +503,12 @@ class Trainer:
         return jnp.asarray(np.stack(masks))
 
     def test(self, model: BaseModel, variables, datamodule) -> list[BatchedModelResult]:
-        with self._kernel_guard():
-            return self._test(model, variables, datamodule)
+        return self._test(model, variables, datamodule)
 
     def _test(self, model, variables, datamodule) -> list[BatchedModelResult]:
         eval_step = self._eval_step_fn(model)
+        multi = self.mesh is not None and self.mesh.size > 1
+        eval_step_dp = self._eval_step_dp_fn(model) if multi else None
         prepare = getattr(model, "prepare_inputs", None)
         results = []
         for batch, items in datamodule.test_loader():
@@ -395,9 +519,18 @@ class Trainer:
                 if prepare is not None
                 else jnp.asarray(placed.data)
             )
-            preds, losses, metrics = eval_step(
-                variables, inputs, jnp.asarray(placed.label), aux_mask
-            )
+            label = jnp.asarray(placed.label)
+            if (
+                eval_step_dp is not None
+                and aux_mask is None
+                and self._dp_eligible(inputs, label)
+            ):
+                preds, losses, metrics = eval_step_dp(variables, inputs, label)
+            else:
+                with self._gspmd_kernel_guard():
+                    preds, losses, metrics = eval_step(
+                        variables, inputs, label, aux_mask
+                    )
             result = self._build_result(np.asarray(preds), losses, metrics, items)
             for cb in self.callbacks:
                 if hasattr(cb, "on_test_batch_end"):
@@ -406,11 +539,12 @@ class Trainer:
         return results
 
     def predict(self, model: BaseModel, variables, datamodule) -> list[BatchedModelResult]:
-        with self._kernel_guard():
-            return self._predict(model, variables, datamodule)
+        return self._predict(model, variables, datamodule)
 
     def _predict(self, model, variables, datamodule) -> list[BatchedModelResult]:
         predict_step = self._predict_step_fn(model)
+        multi = self.mesh is not None and self.mesh.size > 1
+        predict_step_dp = self._predict_step_dp_fn(model) if multi else None
         prepare = getattr(model, "prepare_inputs", None)
         results = []
         for batch, items in datamodule.predict_loader():
@@ -420,7 +554,13 @@ class Trainer:
                 if prepare is not None
                 else jnp.asarray(placed.data)
             )
-            preds = np.asarray(predict_step(variables, inputs))
+            if predict_step_dp is not None and self._dp_eligible(
+                inputs, placed.label
+            ):
+                preds = np.asarray(predict_step_dp(variables, inputs))
+            else:
+                with self._gspmd_kernel_guard():
+                    preds = np.asarray(predict_step(variables, inputs))
             result = self._build_result(preds, {}, {}, items)
             for cb in self.callbacks:
                 if hasattr(cb, "on_predict_batch_end"):

@@ -106,10 +106,72 @@ def time_train_step(cached: bool, depth: int = 8):
     )
 
 
+def time_tracking(cached: bool, depth: int = 255):
+    """SAM2 tracking INFERENCE (the ``evaluate``/``infer`` eval workload,
+    reference ``models/sam2.py:457-532``): sequential memory-conditioned
+    tracking over ``depth`` slices @512² through the ring-buffer scan —
+    one jit program per volume. ``cached=True`` uses precomputed
+    ``sam_features`` pyramids (the ``use_cache_features=True`` config
+    default); ``cached=False`` runs the live Hiera-L encoder in the same
+    program."""
+    from cryovit_tpu.config import compose
+    from cryovit_tpu.run.common import build_model
+
+    cfg = compose(
+        "train_model", ["model=sam2", "datamodule=single", "label_key=mito"]
+    )
+    model = build_model(cfg, "bf16")
+    model.train_mode = False
+    s = 512
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.random((1, depth, s, s, 1)).astype(np.float32))
+    # params are depth-independent: init on a 2-slice volume (cheap trace)
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
+    )
+    if cached:
+        d_model = model.sam_cfg.d_model
+        levels = tuple(
+            jnp.asarray(
+                rng.random((depth, s // st, s // st, d_model)).astype(np.float32)
+            )
+            for st in (4, 8, 16)
+        )
+        inputs = {"slices": data, "backbone": {
+            "backbone_fpn": levels, "vision_pos_enc": levels}}
+    else:
+        inputs = data
+
+    fwd = jax.jit(lambda v, inp: model.apply(v, inp))
+    preds = fwd(variables, inputs)
+    float(jnp.sum(preds.astype(jnp.float32)))  # warmup + force
+    n = 3
+    t0 = time.perf_counter()
+    sums = []
+    for _ in range(n):
+        sums.append(jnp.sum(fwd(variables, inputs).astype(jnp.float32)))
+    for x in sums:
+        float(x)
+    dt = (time.perf_counter() - t0) / n
+    name = "cached pyramids" if cached else "live encoder"
+    print(
+        f"tracking inference ({name}, {depth} slices @512²): "
+        f"{dt * 1e3:8.1f} ms/volume ({depth / dt:6.1f} slices/s)"
+    )
+    return depth / dt
+
+
 def main():
     if "--train" in sys.argv:
         time_train_step(cached=False)
         time_train_step(cached=True)
+        return
+    if "--track" in sys.argv:
+        depth = 255
+        if "--depth" in sys.argv:
+            depth = int(sys.argv[sys.argv.index("--depth") + 1])
+        time_tracking(cached=True, depth=depth)
+        time_tracking(cached=False, depth=depth)
         return
     batch = 24
     if "--batch" in sys.argv:
