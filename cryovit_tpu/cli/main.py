@@ -52,6 +52,9 @@ def _add_train(sub: argparse._SubParsersAction) -> None:
     p.add_argument("--num-epochs", type=int, default=50)
     p.add_argument("--log-training", action="store_true",
                    help="Log training curves to TensorBoard.")
+    p.add_argument("--export-torch", action="store_true",
+                   help="Also write <name>.torch.model — a reference-stack-"
+                        "readable artifact (torch state_dict weights).")
 
 
 def _add_evaluate(sub: argparse._SubParsersAction) -> None:
@@ -158,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
             num_epochs=args.num_epochs,
             ckpt_path=Path(args.ckpt) if args.ckpt else None,
             log_training=args.log_training,
+            export_torch=args.export_torch,
         )
         return 0
 

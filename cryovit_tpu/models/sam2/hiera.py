@@ -50,7 +50,15 @@ class _Dense(nn.Module):
         if not self.quant_int8:
             return x.astype(self.dtype) @ kernel.astype(self.dtype) + bias_d
         xq, sx = int8_quant(x, axis=-1)  # (..., C) int8, (..., 1) f32
-        wq, sw = int8_quant(kernel, axis=0)  # (C, D) int8, (1, D) f32
+        if self.has_variable("qweights", "wq"):
+            # pre-quantized once at extractor setup (the trunk is frozen;
+            # re-quantizing the (C, D) weight inside the jitted forward
+            # was a recurring HBM pass per projection per batch —
+            # SamFeatureExtractor builds the collection host-side)
+            wq = self.get_variable("qweights", "wq")
+            sw = self.get_variable("qweights", "sw")
+        else:
+            wq, sw = int8_quant(kernel, axis=0)  # (C, D) int8, (1, D) f32
         out = jnp.einsum("...c,cd->...d", xq, wq, preferred_element_type=jnp.int32)
         return (out.astype(jnp.float32) * sx * sw).astype(self.dtype) + bias_d
 

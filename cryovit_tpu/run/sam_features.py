@@ -56,6 +56,32 @@ def _fold_rgb_patch_embed(variables):
     return new_params, True
 
 
+def prequantize_trunk_int8(params) -> dict:
+    """Build the ``qweights`` collection for the w8a8 mode: quantize every
+    opted-in trunk projection kernel (``qkv`` / ``mlp_fc1``, see
+    ``models/sam2/hiera.py:_Dense``) ONCE on the host. The trunk is frozen
+    during extraction, so re-quantizing per batch inside the jitted forward
+    was a recurring abs-max + round HBM pass over each (C, D) weight
+    (advisor finding r3). Collection paths mirror the module tree."""
+    from cryovit_tpu.ops.quant import int8_quant
+
+    def walk(tree):
+        out = {}
+        for key, val in tree.items():
+            if not isinstance(val, dict):
+                continue
+            if key in ("qkv", "mlp_fc1") and "kernel" in val:
+                wq, sw = int8_quant(jnp.asarray(val["kernel"]), axis=0)
+                out[key] = {"wq": wq, "sw": sw}
+            else:
+                sub = walk(val)
+                if sub:
+                    out[key] = sub
+        return out
+
+    return walk(params)
+
+
 class SamFeatureExtractor:
     """Jit-compiled Hiera+FPN pyramid extractor over slice batches."""
 
@@ -79,6 +105,11 @@ class SamFeatureExtractor:
         # deal as the DINOv2 extractor's mode — measured in BASELINE.md.
         self.encoder = ImageEncoder(self.cfg, dtype=dtype, quant_int8=quant_int8)
         variables, self._rgb_folded = _fold_rgb_patch_embed(variables)
+        if quant_int8 and "qweights" not in variables:
+            variables = dict(variables)
+            variables["qweights"] = prequantize_trunk_int8(
+                variables.get("params", variables)
+            )
         self.variables = jax.device_put(variables)
         self.batch_size = batch_size
         self._fn = None

@@ -41,10 +41,14 @@ def run_training(
     num_epochs: int = 50,
     ckpt_path: Path | None = None,
     log_training: bool = False,
+    export_torch: bool = False,
     **overrides: object,
 ) -> Path:
     """Train a model on explicit file paths and export ``<name>.model``
-    (reference ``run/train_model.py:24-153``)."""
+    (reference ``run/train_model.py:24-153``). With ``export_torch`` an
+    additional ``<name>.torch.model`` is written that the REFERENCE stack
+    opens directly (torch state_dict weights + hydra-instantiable cfg,
+    ``train/torch_export.py``)."""
     result_dir = Path(result_dir)
     result_dir.mkdir(parents=True, exist_ok=True)
 
@@ -94,6 +98,12 @@ def run_training(
     out_path = result_dir / f"{model_name}.model"
     save_model(model_name, label_key, model, state.params, cfg.model, out_path)
     logger.info("saved model artifact to %s", out_path)
+    if export_torch:
+        from cryovit_tpu.train.torch_export import save_torch_model
+
+        torch_path = result_dir / f"{model_name}.torch.model"
+        save_torch_model(model_name, label_key, model, state.params, torch_path)
+        logger.info("saved reference-readable torch artifact to %s", torch_path)
     return out_path
 
 

@@ -543,4 +543,20 @@ def test_encoder_int8_mode_fidelity(tiny_cfg, rng):
         a = np.asarray(a, dtype=np.float64).ravel()
         b = np.asarray(b, dtype=np.float64).ravel()
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
-        assert cos > 0.99, cos
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
+        # observed: cos ≥ 0.99989, rel-L2 ≤ 0.0146 per level (advisor r3:
+        # the earlier 0.99 bound was loose enough for a broken scale
+        # broadcast to slip through); bound both so a real quant
+        # regression trips the test
+        assert cos > 0.9995, cos
+        assert rel < 0.03, rel
+
+    # the prequantized-weight path (qweights collection, built once at
+    # SamFeatureExtractor setup) must be bit-exact vs on-the-fly quant
+    from cryovit_tpu.run.sam_features import prequantize_trunk_int8
+
+    qw = {"params": variables["params"],
+          "qweights": prequantize_trunk_int8(variables["params"])}
+    out_pre = jax.jit(q.apply)(qw, x)
+    for a, b in zip(out_q["backbone_fpn"], out_pre["backbone_fpn"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

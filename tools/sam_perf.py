@@ -130,10 +130,12 @@ def time_tracking(cached: bool, depth: int = 255):
         jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
     )
     if cached:
+        # cached pyramids are fp16 on disk (save_feature_hdf); keep them
+        # sub-f32 on device too — f32 levels at D=255 alone are ~11 GB
         d_model = model.sam_cfg.d_model
         levels = tuple(
             jnp.asarray(
-                rng.random((depth, s // st, s // st, d_model)).astype(np.float32)
+                rng.random((depth, s // st, s // st, d_model)), jnp.bfloat16
             )
             for st in (4, 8, 16)
         )
