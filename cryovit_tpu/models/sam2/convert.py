@@ -33,6 +33,7 @@ __all__ = [
     "convert_encoder_state_dict",
     "convert_memory_encoder_state_dict",
     "convert_memory_attention_state_dict",
+    "verify_checkpoint",
 ]
 
 
@@ -176,7 +177,8 @@ def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, An
     by the family wrapper. Unconsumed checkpoint keys are logged so gaps are
     visible rather than silent.
     """
-    sd = _TrackingDict(sd)
+    if not isinstance(sd, _TrackingDict):
+        sd = _TrackingDict(sd)
     params: dict[str, Any] = {}
     params["image_encoder"] = convert_encoder_state_dict(sd, cfg)["params"]
 
@@ -283,3 +285,94 @@ def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, An
             ", ".join(unconsumed[:12]) + ("..." if len(unconsumed) > 12 else ""),
         )
     return {"params": {"sam": params}}
+
+
+def verify_checkpoint(
+    sd: dict[str, Any], cfg: SAM2Config, encoder_only: bool = False
+) -> dict[str, Any]:
+    """Strict checkpoint verification (one command instead of archaeology
+    the day a real ``sam2.1_hiera_large.pt`` is reachable; mirrors the
+    reference's strict load, ``models/sam2.py:832-838``).
+
+    Runs the conversion and audits three independent failure classes:
+
+    - ``missing``: checkpoint tensors the mapping requires but the file
+      lacks (first offender — the conversion aborts there),
+    - ``unconsumed``: checkpoint tensors the mapping never touched
+      (naming drift / new modules in a future release),
+    - ``not_in_model`` / ``shape_mismatches``: converted entries compared
+      per-path against the flax module's ``jax.eval_shape`` manifest.
+
+    Returns a report dict with ``ok=True`` only when every class is empty.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    report: dict[str, Any] = {
+        "ok": False,
+        "error": None,
+        "missing": [],
+        "unconsumed": [],
+        "not_in_model": [],
+        "shape_mismatches": [],
+        "n_tensors": len(sd),
+        "n_consumed": 0,
+        "n_params": 0,
+    }
+    tracked = _TrackingDict(sd)
+    try:
+        if encoder_only:
+            converted = convert_encoder_state_dict(tracked, cfg)
+        else:
+            converted = convert_sam2_state_dict(tracked, cfg)
+    except KeyError as exc:
+        report["missing"].append(str(exc.args[0]) if exc.args else str(exc))
+        report["n_consumed"] = len(tracked.consumed)
+        return report
+    except Exception as exc:  # shape/transpose errors → report, not crash
+        report["error"] = f"{type(exc).__name__}: {exc}"
+        report["n_consumed"] = len(tracked.consumed)
+        return report
+    report["n_consumed"] = len(tracked.consumed)
+    report["unconsumed"] = sorted(set(sd) - tracked.consumed)
+
+    if encoder_only:
+        from cryovit_tpu.models.sam2.encoder import ImageEncoder
+
+        module = ImageEncoder(cfg)
+        probe = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        expected = jax.eval_shape(module.init, jax.random.key(0), probe)
+        got_params = converted["params"]
+    else:
+        from cryovit_tpu.models.sam2.model import SAM2Model
+
+        module = SAM2Model(cfg=cfg)
+        probe = jnp.zeros((1, 2, cfg.image_size, cfg.image_size), jnp.float32)
+        expected = jax.eval_shape(module.init, jax.random.key(0), probe)
+        got_params = converted["params"]["sam"]
+
+    want = {
+        jax.tree_util.keystr(path): leaf.shape
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            expected["params"]
+        )
+    }
+    got = {
+        jax.tree_util.keystr(path): np.asarray(leaf).shape
+        for path, leaf in jax.tree_util.tree_leaves_with_path(got_params)
+    }
+    report["n_params"] = len(got)
+    for path, shape in sorted(got.items()):
+        if path not in want:
+            report["not_in_model"].append(path)
+        elif tuple(shape) != tuple(want[path]):
+            report["shape_mismatches"].append(
+                (path, tuple(shape), tuple(want[path]))
+            )
+    report["ok"] = not (
+        report["missing"]
+        or report["unconsumed"]
+        or report["not_in_model"]
+        or report["shape_mismatches"]
+    )
+    return report

@@ -1126,3 +1126,43 @@ def test_prompt_predictor_torch_parity(rng):
     np.testing.assert_allclose(
         np.asarray(prompts)[..., 0], t_prompts[:, 0].numpy(), atol=2e-4
     )
+
+
+def test_verify_checkpoint_strict_audit(rng):
+    """`tools/convert_sam2.py --verify` backend (VERDICT r3 next #7): a
+    clean published-naming checkpoint passes; a perturbed one — extra key,
+    missing key, or wrong shape — fails with the offender named."""
+    from cryovit_tpu.models.sam2.convert import verify_checkpoint
+
+    cfg = SAM2Config.tiny_test()
+    sd = _published_full_state_dict(cfg, rng)
+
+    report = verify_checkpoint(dict(sd), cfg)
+    assert report["ok"], {
+        k: v for k, v in report.items() if v and k != "n_tensors"
+    }
+    assert report["n_consumed"] == report["n_tensors"]
+
+    # extra (unconsumed) tensor — e.g. naming drift in a future release
+    extra = dict(sd)
+    extra["image_encoder.trunk.blocks.0.attn.qkv.weight_g"] = np.zeros(3)
+    report = verify_checkpoint(extra, cfg)
+    assert not report["ok"]
+    assert "image_encoder.trunk.blocks.0.attn.qkv.weight_g" in report["unconsumed"]
+
+    # missing tensor
+    short = dict(sd)
+    del short["no_obj_ptr"]
+    report = verify_checkpoint(short, cfg)
+    assert not report["ok"]
+    assert report["missing"] == ["no_obj_ptr"]
+
+    # wrong shape (a transposed decoder projection)
+    wrong = dict(sd)
+    key = "obj_ptr_proj.weight"
+    wrong[key] = np.zeros((sd[key].shape[0], sd[key].shape[1] + 1), np.float32)
+    report = verify_checkpoint(wrong, cfg)
+    assert not report["ok"]
+    assert report["error"] or any(
+        "obj_ptr_proj" in path for path, *_ in report["shape_mismatches"]
+    ), report
