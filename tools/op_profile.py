@@ -152,6 +152,47 @@ def _dino_batch():
     return lambda: fn(ex.variables, stack)
 
 
+def _sam_track():
+    """SAM2 tracking inference (the evaluate/infer eval path): one
+    cached-pyramid tracking pass through the ring-buffer scan. Depth via
+    ``--depth N`` (default 64); ``--live`` runs the live encoder."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cryovit_tpu.config import compose
+    from cryovit_tpu.run.common import build_model
+
+    depth = 64
+    if "--depth" in sys.argv:
+        depth = int(sys.argv[sys.argv.index("--depth") + 1])
+    cfg = compose(
+        "train_model", ["model=sam2", "datamodule=single", "label_key=mito"]
+    )
+    model = build_model(cfg, "bf16")
+    model.train_mode = False
+    s = 512
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.random((1, depth, s, s, 1)).astype(np.float32))
+    variables = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
+    )
+    if "--live" in sys.argv:
+        inputs = data
+    else:
+        d_model = model.sam_cfg.d_model
+        levels = tuple(
+            jnp.asarray(
+                rng.random((depth, s // st, s // st, d_model)), jnp.bfloat16
+            )
+            for st in (4, 8, 16)
+        )
+        inputs = {"slices": data, "backbone": {
+            "backbone_fpn": levels, "vision_pos_enc": levels}}
+    fwd = jax.jit(lambda v, inp: model.apply(v, inp))
+    return lambda: fwd(variables, inputs)
+
+
 def main():
     import jax
 
@@ -160,8 +201,11 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     which = sys.argv[1] if len(sys.argv) > 1 else "sam"
-    fn = {"sam": _sam_batch, "dino": _dino_batch}[which]()
-    profile_fn(fn, top=int(sys.argv[2]) if len(sys.argv) > 2 else 30)
+    fn = {"sam": _sam_batch, "dino": _dino_batch, "track": _sam_track}[which]()
+    top = 30
+    if len(sys.argv) > 2 and sys.argv[2].isdigit():
+        top = int(sys.argv[2])
+    profile_fn(fn, top=top)
 
 
 if __name__ == "__main__":

@@ -125,8 +125,10 @@ def time_tracking(cached: bool, depth: int = 255):
     s = 512
     rng = np.random.default_rng(0)
     data = jnp.asarray(rng.random((1, depth, s, s, 1)).astype(np.float32))
-    # params are depth-independent: init on a 2-slice volume (cheap trace)
-    variables = model.init(
+    # params are depth-independent: init on a 2-slice volume. Jit the init —
+    # eager init dispatches thousands of ops one-by-one through the axon
+    # tunnel (~25 ms each)
+    variables = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
     )
     if cached:
