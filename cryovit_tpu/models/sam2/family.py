@@ -42,6 +42,7 @@ class _SAM2Forward(nn.Module):
 
     cfg: SAM2Config
     dtype: Any = jnp.float32
+    encoder_chunk: int = 64  # see SAM2Model.encoder_chunk
 
     @nn.compact
     def __call__(
@@ -60,9 +61,12 @@ class _SAM2Forward(nn.Module):
             d = MAX_SAM_DEPTH
         if (h, w) != (s, s):
             x = jax.image.resize(x, (b, d, s, s), method="linear")
-        out = SAM2Model(cfg=self.cfg, dtype=self.dtype, name="sam")(
-            x, backbone, order=order, num_cond=num_cond
-        )
+        out = SAM2Model(
+            cfg=self.cfg,
+            dtype=self.dtype,
+            encoder_chunk=self.encoder_chunk,
+            name="sam",
+        )(x, backbone, order=order, num_cond=num_cond)
         preds, prompts = out["preds"], out["prompts"]
         if (h, w) != (s, s):
             preds = jax.image.resize(preds, (b, d, h, w), method="linear")
@@ -85,6 +89,7 @@ class SAM2(BaseModel):
         # (reference configs/model/default_sam.yaml:6)
         self.prompt_lr = float(custom.pop("prompt_lr", 1e-4))
         self.use_cache_features = bool(custom.pop("use_cache_features", False))
+        self.encoder_chunk = int(custom.pop("encoder_chunk", 64))
         self.num_init_cond_slices = tuple(custom.pop("num_init_cond_slices", (1, 1)))
         self.rand_init_cond_slices = tuple(
             custom.pop("rand_init_cond_slices", (True, False))
@@ -109,7 +114,9 @@ class SAM2(BaseModel):
         if max_cond > cfg.max_cond_slices:
             cfg = dataclasses.replace(cfg, max_cond_slices=max_cond)
         self.sam_cfg = cfg
-        return _SAM2Forward(cfg=cfg, dtype=self.dtype)
+        return _SAM2Forward(
+            cfg=cfg, dtype=self.dtype, encoder_chunk=self.encoder_chunk
+        )
 
     # ---- pretrained weights ---------------------------------------------
 

@@ -75,6 +75,16 @@ class SAM2Model(nn.Module):
     lora_rank: int = 128  # reference models/sam2.py:343-346
     lora_alpha: float = 128.0
     dtype: Any = jnp.float32
+    # live-encoder micro-batching: when the tracking pass must encode more
+    # than this many slices (the `evaluate`/`infer` path on a full volume —
+    # up to MAX_SAM_DEPTH=255), the backbone runs as an nn.scan over
+    # `encoder_chunk`-slice chunks instead of one giant batch. Hiera-L at
+    # batch 255 @512² needs ~22 GB of activations (OOM on a 16 GB chip);
+    # chunked, the live pass peaks at one chunk's activations plus the
+    # output pyramids. 0 disables chunking. The reference encodes
+    # per-frame anyway (models/sam2.py:457-532), so this changes nothing
+    # semantically.
+    encoder_chunk: int = 64
 
     def setup(self) -> None:
         cfg = self.cfg
@@ -365,7 +375,30 @@ class SAM2Model(nn.Module):
 
         if backbone is None:
             flat = slices.reshape(b * d, s, s)
-            backbone = self.encode_images(flat)
+            ch = self.encoder_chunk
+            if ch and flat.shape[0] > ch:
+                n = flat.shape[0]
+                pad = (-n) % ch
+                if pad:
+                    flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0)))
+                chunks = flat.reshape(-1, ch, s, s)
+
+                def enc_step(mdl, carry, xc):
+                    return carry, mdl.encode_images(xc)
+
+                scan_enc = nn.scan(
+                    enc_step,
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=0,
+                    out_axes=0,
+                )
+                _, stacked = scan_enc(self, None, chunks)
+                backbone = jax.tree.map(
+                    lambda x: x.reshape(-1, *x.shape[2:])[:n], stacked
+                )
+            else:
+                backbone = self.encode_images(flat)
         fpn = backbone["backbone_fpn"]
         pos = backbone["vision_pos_enc"]
 

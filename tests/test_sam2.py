@@ -179,6 +179,24 @@ def test_tracking_order_permutation_identity(tiny_cfg, tiny_sam, rng):
     assert np.isfinite(np.asarray(perm["preds"])).all()
 
 
+def test_tracking_chunked_encoder_matches_unchunked(tiny_cfg, tiny_sam, rng):
+    """The live-encoder chunking (``encoder_chunk``: nn.scan over slice
+    chunks, needed so depth-255 eval volumes fit 16 GB — Hiera-L at batch
+    255 is a 22 GB program) must be numerically identical to the one-batch
+    encode, including the pad-to-chunk remainder path."""
+    model, variables = tiny_sam
+    s = tiny_cfg.image_size
+    slices = jnp.asarray(rng.random((1, 5, s, s)), dtype=jnp.float32)
+    base = model.apply(variables, slices)  # default chunk 64 > 5: unchunked
+    chunked = SAM2Model(
+        cfg=tiny_cfg, lora_rank=4, lora_alpha=4.0, encoder_chunk=2
+    )
+    out = chunked.apply(variables, slices)  # 5 slices → 3 chunks, 1 pad
+    np.testing.assert_allclose(
+        np.asarray(base["preds"]), np.asarray(out["preds"]), atol=1e-5
+    )
+
+
 def test_tracking_multi_cond_forward(rng):
     """num_cond=2: both cond slices skip memory attention, later slices
     track; same compiled program serves different draws."""

@@ -123,22 +123,45 @@ def time_tracking(cached: bool, depth: int = 255):
     model = build_model(cfg, "bf16")
     model.train_mode = False
     s = 512
-    rng = np.random.default_rng(0)
-    data = jnp.asarray(rng.random((1, depth, s, s, 1)).astype(np.float32))
-    # params are depth-independent: init on a 2-slice volume. Jit the init —
-    # eager init dispatches thousands of ops one-by-one through the axon
-    # tunnel (~25 ms each)
-    variables = jax.jit(model.init)(
-        jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
+    key = jax.random.key(0)
+    data = jax.jit(
+        lambda k: jax.random.uniform(k, (1, depth, s, s, 1), jnp.float32)
+    )(key)
+    # params are depth-independent: synthesize them from the 2-slice init
+    # SHAPES (eval_shape traces without compiling — jitting the real init
+    # compiles a program as large as the forward itself, minutes on this
+    # model) and fill with small normals on device.
+    t0 = time.perf_counter()
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
     )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def synth(k):
+        ks = jax.random.split(k, len(leaves))
+        return treedef.unflatten([
+            (0.02 * jax.random.normal(ki, l.shape, l.dtype))
+            if jnp.issubdtype(l.dtype, jnp.floating)
+            else jnp.zeros(l.shape, l.dtype)
+            for ki, l in zip(ks, leaves)
+        ])
+
+    variables = synth(jax.random.key(1))
+    jax.block_until_ready(variables)
+    print(f"  [params synthesized in {time.perf_counter() - t0:.1f}s]")
     if cached:
         # cached pyramids are fp16 on disk (save_feature_hdf); keep them
-        # sub-f32 on device too — f32 levels at D=255 alone are ~11 GB
+        # sub-f32 on device too — f32 levels at D=255 alone are ~11 GB.
+        # Generated on device: host rng + tunnel upload of ~5 GB at D=255
+        # dominates wall time otherwise.
         d_model = model.sam_cfg.d_model
         levels = tuple(
-            jnp.asarray(
-                rng.random((depth, s // st, s // st, d_model)), jnp.bfloat16
-            )
+            jax.jit(
+                lambda k, st=st: jax.random.uniform(
+                    k, (depth, s // st, s // st, d_model), jnp.bfloat16
+                )
+            )(jax.random.key(10 + st))
             for st in (4, 8, 16)
         )
         inputs = {"slices": data, "backbone": {
@@ -147,8 +170,10 @@ def time_tracking(cached: bool, depth: int = 255):
         inputs = data
 
     fwd = jax.jit(lambda v, inp: model.apply(v, inp))
+    t0 = time.perf_counter()
     preds = fwd(variables, inputs)
     float(jnp.sum(preds.astype(jnp.float32)))  # warmup + force
+    print(f"  [compile+warmup in {time.perf_counter() - t0:.1f}s]")
     n = 3
     t0 = time.perf_counter()
     sums = []
