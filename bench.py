@@ -87,6 +87,11 @@ def _extra_shapes(extractor, jnp, np) -> None:
         f"{sam_ex.batch_size * len(sam_stacks) / dt:6.2f} slices/s",
         file=sys.stderr,
     )
+    # SAM2 tracking inference (the evaluate/infer eval workload, reference
+    # models/sam2.py:457-532): full-depth memory-conditioned tracking with
+    # cached sam_features pyramids through the ring-buffer scan
+    _sam_tracking_rate(jnp, depth=255)
+
     # multi-bucket: alternate shapes through one extractor (compile reuse)
     rng = np.random.default_rng(2)
     stacks = [
@@ -107,6 +112,69 @@ def _extra_shapes(extractor, jnp, np) -> None:
         "incl. feature download — D2H through the axon tunnel (~5 MB/s) "
         "dominates here; on a TPU-attached host this matches the compute "
         "rates above",
+        file=sys.stderr,
+    )
+
+
+def _sam_tracking_rate(jnp, depth: int = 255) -> None:
+    """SAM2 tracking inference throughput (cached pyramids, depth slices
+    @512² per volume) — the reference's sequential eval loop, here one
+    compiled ring-buffer scan. Shares tools/sam_perf.py --track methodology
+    (eval_shape param synthesis, device-side inputs)."""
+    import jax
+
+    from cryovit_tpu.config import compose
+    from cryovit_tpu.run.common import build_model
+
+    cfg = compose(
+        "train_model", ["model=sam2", "datamodule=single", "label_key=mito"]
+    )
+    model = build_model(cfg, "bf16")
+    model.train_mode = False
+    s = 512
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def synth(k):
+        ks = jax.random.split(k, len(leaves))
+        return treedef.unflatten([
+            (0.02 * jax.random.normal(ki, l.shape, l.dtype))
+            if jnp.issubdtype(l.dtype, jnp.floating)
+            else jnp.zeros(l.shape, l.dtype)
+            for ki, l in zip(ks, leaves)
+        ])
+
+    variables = synth(jax.random.key(1))
+    data = jax.jit(
+        lambda k: jax.random.uniform(k, (1, depth, s, s, 1), jnp.float32)
+    )(jax.random.key(0))
+    d_model = model.sam_cfg.d_model
+    levels = tuple(
+        jax.jit(
+            lambda k, st=st: jax.random.uniform(
+                k, (depth, s // st, s // st, d_model), jnp.bfloat16
+            )
+        )(jax.random.key(10 + st))
+        for st in (4, 8, 16)
+    )
+    inputs = {"slices": data, "backbone": {
+        "backbone_fpn": levels, "vision_pos_enc": levels}}
+    fwd = jax.jit(lambda v, inp: model.apply(v, inp))
+    float(jnp.sum(fwd(variables, inputs).astype(jnp.float32)))  # warmup
+    n = 3
+    t0 = time.perf_counter()
+    sums = [
+        jnp.sum(fwd(variables, inputs).astype(jnp.float32)) for _ in range(n)
+    ]
+    for x in sums:
+        float(x)
+    dt = (time.perf_counter() - t0) / n
+    print(
+        f"  sam2 tracking inference (cached pyramids, {depth}x512² volume): "
+        f"{dt * 1e3:7.1f} ms/volume ({depth / dt:6.1f} slices/s)",
         file=sys.stderr,
     )
 

@@ -32,15 +32,16 @@ class LoRALinear(nn.Module):
     features: int
     rank: int
     alpha: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        base = nn.Dense(self.features, name="proj")(x)
+        base = nn.Dense(self.features, dtype=self.dtype, name="proj")(x)
         if self.rank <= 0:
             return base
-        a = nn.Dense(self.rank, use_bias=False, name="w_a",
+        a = nn.Dense(self.rank, use_bias=False, name="w_a", dtype=self.dtype,
                      kernel_init=nn.initializers.he_uniform())(x)
-        b = nn.Dense(self.features, use_bias=False, name="w_b",
+        b = nn.Dense(self.features, use_bias=False, name="w_b", dtype=self.dtype,
                      kernel_init=nn.initializers.zeros)(a)
         return base + b * (self.alpha / self.rank)
 
@@ -54,14 +55,16 @@ class LoRAAttention(nn.Module):
     downsample_rate: int = 1
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
         inner = self.dim // self.downsample_rate
         head_dim = inner // self.num_heads
-        qp = LoRALinear(inner, self.lora_rank, self.lora_alpha, name="q_proj")(q)
-        kp = nn.Dense(inner, name="k_proj")(k)
-        vp = LoRALinear(inner, self.lora_rank, self.lora_alpha, name="v_proj")(v)
+        lora_kw = dict(dtype=self.dtype)
+        qp = LoRALinear(inner, self.lora_rank, self.lora_alpha, name="q_proj", **lora_kw)(q)
+        kp = nn.Dense(inner, dtype=self.dtype, name="k_proj")(k)
+        vp = LoRALinear(inner, self.lora_rank, self.lora_alpha, name="v_proj", **lora_kw)(v)
 
         def split(x):
             return x.reshape(*x.shape[:2], self.num_heads, head_dim)
@@ -74,17 +77,18 @@ class LoRAAttention(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
         out = out.reshape(*out.shape[:2], inner)
-        return nn.Dense(self.dim, name="out_proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(out)
 
 
 class _MLPBlock(nn.Module):
     hidden: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Dense(self.hidden, name="lin1")(x)
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="lin1")(x)
         y = nn.relu(y)
-        return nn.Dense(x.shape[-1], name="lin2")(y)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="lin2")(y)
 
 
 class TwoWayAttentionBlock(nn.Module):
@@ -96,10 +100,12 @@ class TwoWayAttentionBlock(nn.Module):
     lora_rank: int
     lora_alpha: float
     skip_first_layer_pe: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
-        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha)
+        lora = dict(lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+                    dtype=self.dtype)
         if self.skip_first_layer_pe:
             queries = LoRAAttention(self.dim, self.num_heads, name="self_attn", **lora)(
                 queries, queries, queries
@@ -109,7 +115,7 @@ class TwoWayAttentionBlock(nn.Module):
             queries = queries + LoRAAttention(
                 self.dim, self.num_heads, name="self_attn", **lora
             )(q, q, queries)
-        queries = nn.LayerNorm(epsilon=1e-6, name="norm1")(queries)
+        queries = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
@@ -117,10 +123,10 @@ class TwoWayAttentionBlock(nn.Module):
             self.dim, self.num_heads, downsample_rate=2,
             name="cross_attn_token_to_image", **lora,
         )(q, k, keys)
-        queries = nn.LayerNorm(epsilon=1e-6, name="norm2")(queries)
+        queries = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(queries)
 
         queries = queries + _MLPBlock(self.dim * 8, name="mlp")(queries)
-        queries = nn.LayerNorm(epsilon=1e-6, name="norm3")(queries)
+        queries = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm3")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
@@ -128,7 +134,7 @@ class TwoWayAttentionBlock(nn.Module):
             self.dim, self.num_heads, downsample_rate=2,
             name="cross_attn_image_to_token", **lora,
         )(k, q, queries)
-        keys = nn.LayerNorm(epsilon=1e-6, name="norm4")(keys)
+        keys = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm4")(keys)
         return queries, keys
 
 
@@ -137,12 +143,13 @@ class _HyperMLP(nn.Module):
     out: int
     depth: int = 3
     sigmoid_output: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.depth - 1):
-            x = nn.relu(nn.Dense(self.hidden, name=f"layer{i}")(x))
-        x = nn.Dense(self.out, name=f"layer{self.depth - 1}")(x)
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, name=f"layer{i}")(x))
+        x = nn.Dense(self.out, dtype=self.dtype, name=f"layer{self.depth - 1}")(x)
         if self.sigmoid_output:
             x = nn.sigmoid(x)
         return x
@@ -176,16 +183,20 @@ class MaskDecoder(nn.Module):
         obj_token = self.param("obj_score_token", nn.initializers.normal(0.02), (1, d))
 
         b = image_embeddings.shape[0]
-        out_tokens = jnp.concatenate([obj_token, iou_token, mask_tokens], axis=0)
+        out_tokens = jnp.concatenate(
+            [obj_token, iou_token, mask_tokens], axis=0
+        ).astype(self.dtype)
         tokens = jnp.concatenate(
             [jnp.broadcast_to(out_tokens[None], (b, *out_tokens.shape)), sparse_prompts],
             axis=1,
         )
 
-        src = image_embeddings + dense_prompts
+        src = (image_embeddings + dense_prompts).astype(self.dtype)
         e = src.shape[1]
         src_seq = src.reshape(b, e * e, d)
-        pe_seq = jnp.broadcast_to(image_pe.reshape(1, e * e, d), (b, e * e, d))
+        pe_seq = jnp.broadcast_to(
+            image_pe.reshape(1, e * e, d), (b, e * e, d)
+        ).astype(self.dtype)
 
         queries, keys = tokens, src_seq
         for i in range(cfg.decoder_depth):
@@ -195,6 +206,7 @@ class MaskDecoder(nn.Module):
                 self.lora_rank,
                 self.lora_alpha,
                 skip_first_layer_pe=i == 0,
+                dtype=self.dtype,
                 name=f"layer{i}",
             )(queries, keys, tokens, pe_seq)
         q = queries + tokens
@@ -202,9 +214,10 @@ class MaskDecoder(nn.Module):
         queries = queries + LoRAAttention(
             d, cfg.decoder_heads, downsample_rate=2,
             lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
+            dtype=self.dtype,
             name="final_attn_token_to_image",
         )(q, k, keys)
-        queries = nn.LayerNorm(epsilon=1e-6, name="norm_final")(queries)
+        queries = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm_final")(queries)
 
         obj_out = queries[:, 0]
         iou_out = queries[:, 1]
@@ -212,25 +225,32 @@ class MaskDecoder(nn.Module):
 
         # upscale image features 4× with transposed convs (+ high-res skips)
         img = keys.reshape(b, e, e, d)
-        up1 = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), name="upscale1")(img)
+        up1 = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), dtype=self.dtype, name="upscale1")(img)
         if high_res_features is not None:
-            up1 = up1 + nn.Conv(d // 4, (1, 1), name="conv_s1")(high_res_features[1])
-        up1 = nn.gelu(nn.LayerNorm(epsilon=1e-6, name="upscale_ln")(up1), approximate=False)
-        up2 = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), name="upscale2")(up1)
+            up1 = up1 + nn.Conv(d // 4, (1, 1), dtype=self.dtype, name="conv_s1")(high_res_features[1])
+        up1 = nn.gelu(nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="upscale_ln")(up1), approximate=False)
+        up2 = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), dtype=self.dtype, name="upscale2")(up1)
         if high_res_features is not None:
-            up2 = up2 + nn.Conv(d // 8, (1, 1), name="conv_s0")(high_res_features[0])
+            up2 = up2 + nn.Conv(d // 8, (1, 1), dtype=self.dtype, name="conv_s0")(high_res_features[0])
         up2 = nn.gelu(up2, approximate=False)
 
         hyper = jnp.stack(
             [
-                _HyperMLP(d, d // 8, name=f"hyper{i}")(mask_out[:, i])
+                _HyperMLP(d, d // 8, dtype=self.dtype, name=f"hyper{i}")(mask_out[:, i])
                 for i in range(num_masks)
             ],
             axis=1,
         )  # (B, M, d/8)
-        masks = jnp.einsum("bmc,bhwc->bmhw", hyper, up2)  # (B, M, 4e, 4e)
+        masks = jnp.einsum("bmc,bhwc->bmhw", hyper, up2,
+                   preferred_element_type=jnp.float32)  # (B, M, 4e, 4e)
 
-        ious = _HyperMLP(d, num_masks, depth=cfg.iou_head_depth,
+        # heads and logits return in f32: the mask logits feed sigmoid /
+        # NO_OBJ_SCORE gating and the IoU argmax selection downstream
+        ious = _HyperMLP(d, num_masks, depth=cfg.iou_head_depth, dtype=self.dtype,
                          sigmoid_output=True, name="iou_head")(iou_out)
-        obj_score = _HyperMLP(d, 1, depth=3, name="obj_score_head")(obj_out)
+        obj_score = _HyperMLP(d, 1, depth=3, dtype=self.dtype,
+                              name="obj_score_head")(obj_out)
+        masks = masks.astype(jnp.float32)
+        ious = ious.astype(jnp.float32)
+        obj_score = obj_score.astype(jnp.float32)
         return masks, ious, mask_out, obj_score

@@ -121,27 +121,34 @@ class MemoryEncoder(nn.Module):
         # sam2's parameterization exactly (for the published configs
         # d_model = 256 so the final conv is 256→256)
         ch = tuple(4 ** (i + 1) for i in range(4))
+        x = x.astype(self.dtype)
         for i, c in enumerate(ch):
             x = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
-                        name=f"mask_down{i}")(x)
-            x = nn.LayerNorm(epsilon=1e-6, name=f"mask_ln{i}")(x)
+                        dtype=self.dtype, name=f"mask_down{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"mask_ln{i}")(x)
             x = nn.gelu(x, approximate=False)
-        x = nn.Conv(self.cfg.d_model, (1, 1), name="mask_down_final")(x)
-        x = x + nn.Conv(self.cfg.d_model, (1, 1), name="pix_proj")(pix_feat)
+        x = nn.Conv(self.cfg.d_model, (1, 1), dtype=self.dtype,
+                    name="mask_down_final")(x)
+        x = x + nn.Conv(self.cfg.d_model, (1, 1), dtype=self.dtype,
+                        name="pix_proj")(pix_feat)
         # Fuser: 2 CXBlocks (depthwise conv + LN + pointwise MLP + scale)
         for i in range(2):
             y = nn.Conv(
                 self.cfg.d_model, (7, 7), padding=[(3, 3), (3, 3)],
-                feature_group_count=self.cfg.d_model, name=f"fuser_dw{i}",
+                feature_group_count=self.cfg.d_model, dtype=self.dtype,
+                name=f"fuser_dw{i}",
             )(x)
-            y = nn.LayerNorm(epsilon=1e-6, name=f"fuser_ln{i}")(y)
-            y = nn.Dense(4 * self.cfg.d_model, name=f"fuser_fc1_{i}")(y)
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"fuser_ln{i}")(y)
+            y = nn.Dense(4 * self.cfg.d_model, dtype=self.dtype,
+                         name=f"fuser_fc1_{i}")(y)
             y = nn.gelu(y, approximate=False)
-            y = nn.Dense(self.cfg.d_model, name=f"fuser_fc2_{i}")(y)
+            y = nn.Dense(self.cfg.d_model, dtype=self.dtype,
+                         name=f"fuser_fc2_{i}")(y)
             gamma = self.param(f"fuser_gamma{i}", nn.initializers.constant(1e-6),
                                (self.cfg.d_model,))
-            x = x + y * gamma
-        return nn.Conv(self.cfg.mem_dim, (1, 1), name="out_proj")(x)
+            x = x + y * gamma.astype(self.dtype)
+        return nn.Conv(self.cfg.mem_dim, (1, 1), dtype=self.dtype,
+                       name="out_proj")(x)
 
 
 class _MemAttnLayer(nn.Module):
@@ -155,6 +162,7 @@ class _MemAttnLayer(nn.Module):
     mem_dim: int
     num_heads: int = 1
     grid: tuple[int, int] = (32, 32)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mem, mem_pos, mem_mask, n_rope_k: int):
@@ -182,29 +190,29 @@ class _MemAttnLayer(nn.Module):
 
         # self-attention with axial RoPE (pos_enc_at_attn=False: no pos
         # added; RoPE is applied after projection + head split)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        q = axial_rope(heads(nn.Dense(d, name="self_q")(y)), self.grid)
-        k = axial_rope(heads(nn.Dense(d, name="self_k")(y)), self.grid)
-        v = heads(nn.Dense(d, name="self_v")(y))
-        x = x + nn.Dense(d, name="self_out")(attend(q, k, v))
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        q = axial_rope(heads(nn.Dense(d, dtype=self.dtype, name="self_q")(y)), self.grid)
+        k = axial_rope(heads(nn.Dense(d, dtype=self.dtype, name="self_k")(y)), self.grid)
+        v = heads(nn.Dense(d, dtype=self.dtype, name="self_v")(y))
+        x = x + nn.Dense(d, dtype=self.dtype, name="self_out")(attend(q, k, v))
 
         # cross-attention to the memory bank: k/v project mem_dim→d_model
         # (sam2 RoPEAttention kv_in_dim); pos added to k only, never v
-        y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        q = axial_rope(heads(nn.Dense(d, name="cross_q")(y)), self.grid)
-        k = heads(nn.Dense(d, name="cross_k")(mem + mem_pos))
-        v = heads(nn.Dense(d, name="cross_v")(mem))
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        q = axial_rope(heads(nn.Dense(d, dtype=self.dtype, name="cross_q")(y)), self.grid)
+        k = heads(nn.Dense(d, dtype=self.dtype, name="cross_k")(mem + mem_pos))
+        v = heads(nn.Dense(d, dtype=self.dtype, name="cross_v")(mem))
         # rope_k_repeat over the spatial slots; pointer tokens excluded
         repeat = n_rope_k // n
         k_sp = axial_rope(k[:, :n_rope_k], self.grid, repeat=repeat)
         k = jnp.concatenate([k_sp, k[:, n_rope_k:]], axis=1)
-        x = x + nn.Dense(d, name="cross_out")(attend(q, k, v, mem_mask))
+        x = x + nn.Dense(d, dtype=self.dtype, name="cross_out")(attend(q, k, v, mem_mask))
 
         # MLP (ReLU, dim_feedforward = 8·d in the published config)
-        y = nn.LayerNorm(epsilon=1e-5, name="norm3")(x)
-        y = nn.Dense(8 * d, name="mlp_fc1")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
+        y = nn.Dense(8 * d, dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.relu(y)
-        return x + nn.Dense(d, name="mlp_fc2")(y)
+        return x + nn.Dense(d, dtype=self.dtype, name="mlp_fc2")(y)
 
 
 class MemoryAttention(nn.Module):
@@ -227,15 +235,17 @@ class MemoryAttention(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         b, e, _, d = feats.shape
-        x = feats.reshape(b, e * e, d) + 0.1 * curr_pos.reshape(
-            curr_pos.shape[0], e * e, d
-        )
+        x = (
+            feats.reshape(b, e * e, d)
+            + 0.1 * curr_pos.reshape(curr_pos.shape[0], e * e, d)
+        ).astype(self.dtype)
         if n_rope_k is None:
             n_rope_k = mem_tokens.shape[1]
         for i in range(cfg.memory_attention_layers):
             x = _MemAttnLayer(
                 d_model=d, mem_dim=cfg.mem_dim, num_heads=1, grid=(e, e),
-                name=f"layer{i}",
-            )(x, mem_tokens, mem_pos, mem_mask, n_rope_k)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm_out")(x)
+                dtype=self.dtype, name=f"layer{i}",
+            )(x, mem_tokens.astype(self.dtype), mem_pos.astype(self.dtype),
+              mem_mask, n_rope_k)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_out")(x)
         return x.reshape(b, e, e, d)

@@ -55,13 +55,13 @@ class MemoryBank:
     cond_count: jnp.ndarray  # () int32 — count of cond writes
 
     @classmethod
-    def empty(cls, b: int, cfg: SAM2Config) -> "MemoryBank":
+    def empty(cls, b: int, cfg: SAM2Config, dtype=jnp.float32) -> "MemoryBank":
         e2 = cfg.embed_size * cfg.embed_size
         slots = cfg.max_cond_slices + cfg.num_maskmem - 1
         return cls(
-            spatial=jnp.zeros((b, slots, e2, cfg.mem_dim)),
+            spatial=jnp.zeros((b, slots, e2, cfg.mem_dim), dtype=dtype),
             spatial_valid=jnp.zeros((b, slots), dtype=bool),
-            obj_ptrs=jnp.zeros((b, cfg.max_obj_ptrs, cfg.d_model)),
+            obj_ptrs=jnp.zeros((b, cfg.max_obj_ptrs, cfg.d_model), dtype=dtype),
             ptr_valid=jnp.zeros((b, cfg.max_obj_ptrs), dtype=bool),
             write_idx=jnp.asarray(1, dtype=jnp.int32),
             cond_count=jnp.asarray(0, dtype=jnp.int32),
@@ -113,11 +113,15 @@ class SAM2Model(nn.Module):
             nn.initializers.normal(0.02),
             (cfg.num_maskmem, cfg.mem_dim),
         )
-        self.obj_ptr_proj = nn.Dense(cfg.d_model, name="obj_ptr_proj")
+        self.obj_ptr_proj = nn.Dense(
+            cfg.d_model, dtype=self.dtype, name="obj_ptr_proj"
+        )
         if cfg.add_tpos_enc_to_obj_ptrs:
             # sam2.1: temporal sine PE (dim d_model) projected to mem_dim
             # and added to object-pointer tokens' pos embeddings
-            self.obj_ptr_tpos_proj = nn.Dense(cfg.mem_dim, name="obj_ptr_tpos_proj")
+            self.obj_ptr_tpos_proj = nn.Dense(
+                cfg.mem_dim, dtype=self.dtype, name="obj_ptr_tpos_proj"
+            )
         self.no_obj_ptr = self.param(
             "no_obj_ptr", nn.initializers.normal(0.02), (cfg.d_model,)
         )
@@ -162,7 +166,9 @@ class SAM2Model(nn.Module):
             cfg.num_maskmem - 1,
             jnp.mod(bank.write_idx - 1 - (slot_ids - mc + 1), cfg.num_maskmem - 1),
         )
-        tpos = self.maskmem_tpos_enc[recency]  # (m, mem_dim)
+        tpos = self.maskmem_tpos_enc[recency].astype(
+            bank.spatial.dtype
+        )  # (m, mem_dim)
         grid_pe = jnp.asarray(
             sine_position_encoding(e, e, md), dtype=bank.spatial.dtype
         ).reshape(1, e2, md)
@@ -217,7 +223,9 @@ class SAM2Model(nn.Module):
         conditioned = self.memory_attention(
             feats, pos, tokens, mem_pos, mask, n_rope_k
         )
-        no_mem = feats + self.no_mem_embed.reshape(1, 1, 1, -1)
+        no_mem = feats + self.no_mem_embed.reshape(1, 1, 1, -1).astype(
+            feats.dtype
+        )
         return jnp.where(has_memory, conditioned, no_mem)
 
     def _sam_heads(
@@ -276,7 +284,7 @@ class SAM2Model(nn.Module):
 
         obj_ptr = self.obj_ptr_proj(token)
         lam = is_obj[:, 0:1].astype(obj_ptr.dtype)
-        obj_ptr = lam * obj_ptr + (1 - lam) * self.no_obj_ptr
+        obj_ptr = lam * obj_ptr + (1 - lam) * self.no_obj_ptr.astype(obj_ptr.dtype)
         # high-res (best-IoU) mask for the memory encoder
         high_res = jax.image.resize(
             mem_mask[..., None],
@@ -425,7 +433,7 @@ class SAM2Model(nn.Module):
             sel(boxes),
             sel(prompts),
         )
-        bank = MemoryBank.empty(b, cfg)
+        bank = MemoryBank.empty(b, cfg, dtype=self.dtype)
         # lifted scan: params broadcast across slices, memory bank carried
         scan = nn.scan(
             type(self)._slice_step,

@@ -35,12 +35,16 @@ def _instance_norm(c: int) -> nn.GroupNorm:
 
 class _ConvBlock(nn.Module):
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (3, 3, 3), padding="SAME", use_bias=False)(x)
-        x = _instance_norm(self.features)(x)
-        return nn.gelu(x, approximate=False)
+        x = nn.Conv(self.features, (3, 3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype)(x)
+        # normalization stats in f32 (bf16 variance over a 128x128 plane
+        # loses too many bits); output joins the stream at the compute dtype
+        x = _instance_norm(self.features)(x.astype(jnp.float32))
+        return nn.gelu(x, approximate=False).astype(self.dtype)
 
 
 def _resize_align_corners(x: jnp.ndarray, shape: tuple[int, int, int]) -> jnp.ndarray:
@@ -78,8 +82,8 @@ class PromptPredictor(nn.Module):
         b, d, h, w, _ = feats.shape
         ch = [m * self.hidden_channels for m in self.channel_mults]
 
-        x = _ConvBlock(ch[0], name="in0")(feats)
-        x = _ConvBlock(ch[0], name="in1")(x)
+        x = _ConvBlock(ch[0], dtype=self.dtype, name="in0")(feats)
+        x = _ConvBlock(ch[0], dtype=self.dtype, name="in1")(x)
 
         skips = []
         for i in range(self.depth):
@@ -88,25 +92,26 @@ class PromptPredictor(nn.Module):
             # the reference asserts its inputs stay poolable instead)
             win = tuple(2 if x.shape[k + 1] >= 2 else 1 for k in range(3))
             x = nn.max_pool(x, win, strides=win)
-            x = _ConvBlock(ch[i + 1], name=f"down{i}_0")(x)
-            x = _ConvBlock(ch[i + 1], name=f"down{i}_1")(x)
+            x = _ConvBlock(ch[i + 1], dtype=self.dtype, name=f"down{i}_0")(x)
+            x = _ConvBlock(ch[i + 1], dtype=self.dtype, name=f"down{i}_1")(x)
 
         for i in reversed(range(self.depth)):
             skip = skips.pop()
             x = _resize_align_corners(x, skip.shape[1:4])
             x = jnp.concatenate([skip, x], axis=-1)
-            x = _ConvBlock(ch[i], name=f"up{i}_0")(x)
-            x = _ConvBlock(ch[i], name=f"up{i}_1")(x)
+            x = _ConvBlock(ch[i], dtype=self.dtype, name=f"up{i}_0")(x)
+            x = _ConvBlock(ch[i], dtype=self.dtype, name=f"up{i}_1")(x)
 
         # dense mask prompt: 1-channel, 4× bilinear (align_corners=True)
-        prompt = nn.Conv(1, (1, 1, 1), name="prompt_out")(x)  # (B, D, h, w, 1)
+        prompt = nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="prompt_out")(x)
+        prompt = prompt.astype(jnp.float32)  # (B, D, h, w, 1) mask logits
         prompt = prompt.reshape(b * d, h, w, 1)
         prompt = _resize_align_corners(
             prompt[:, None], (1, h * self.scale_factor, w * self.scale_factor)
         )[:, 0, ..., 0][..., None]
 
         # box: global average pool per slice + linear → (x1y1, x1y1+wh)
-        pooled = x.mean(axis=(2, 3)).reshape(b * d, -1)  # (B·D, C)
+        pooled = x.astype(jnp.float32).mean(axis=(2, 3)).reshape(b * d, -1)
         box = nn.sigmoid(nn.Dense(4, name="box_out")(pooled))
         x1y1 = box[:, :2]
         x2y2 = x1y1 + box[:, 2:]

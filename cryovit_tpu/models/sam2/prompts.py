@@ -53,13 +53,13 @@ class PromptEncoder(nn.Module):
             "no_mask_embed", nn.initializers.normal(0.02), (d,)
         )
         self.mask_down = [
-            nn.Conv(4, (2, 2), strides=(2, 2), name="mask_down0"),
-            nn.Conv(16, (2, 2), strides=(2, 2), name="mask_down1"),
-            nn.Conv(d, (1, 1), name="mask_down2"),
+            nn.Conv(4, (2, 2), strides=(2, 2), dtype=self.dtype, name="mask_down0"),
+            nn.Conv(16, (2, 2), strides=(2, 2), dtype=self.dtype, name="mask_down1"),
+            nn.Conv(d, (1, 1), dtype=self.dtype, name="mask_down2"),
         ]
         self.mask_norms = [
-            nn.LayerNorm(epsilon=1e-6, name="mask_ln0"),
-            nn.LayerNorm(epsilon=1e-6, name="mask_ln1"),
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="mask_ln0"),
+            nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="mask_ln1"),
         ]
 
     def dense_pe(self) -> jnp.ndarray:
@@ -107,6 +107,6 @@ class PromptEncoder(nn.Module):
         b = boxes.shape[0]
         sparse = jnp.concatenate(
             [self.padding_point(b), self.encode_boxes(boxes)], axis=1
-        )
-        dense = self.encode_masks(masks, b)
+        ).astype(self.dtype)
+        dense = self.encode_masks(masks, b).astype(self.dtype)
         return sparse, dense

@@ -179,6 +179,33 @@ def test_tracking_order_permutation_identity(tiny_cfg, tiny_sam, rng):
     assert np.isfinite(np.asarray(perm["preds"])).all()
 
 
+def test_tracking_bf16_close_to_f32(tiny_cfg, tiny_sam, rng):
+    """bf16 compute threading through the tracking path (memory attention,
+    mask decoder, prompt/memory encoders — the r4 dtype work that cut the
+    cached tracking pass; params stay f32) must keep sigmoid predictions
+    close to the f32 oracle and leave the parameter tree unchanged."""
+    model, variables = tiny_sam
+    s = tiny_cfg.image_size
+    slices = jnp.asarray(rng.random((1, 4, s, s)), dtype=jnp.float32)
+    ref = model.apply(variables, slices)
+    half = SAM2Model(
+        cfg=tiny_cfg, lora_rank=4, lora_alpha=4.0, dtype=jnp.bfloat16
+    )
+    # identical param tree: dtype= threads compute only
+    paths = lambda v: [
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_leaves_with_path(v)
+    ]
+    assert paths(half.init(jax.random.key(0), slices)) == paths(variables)
+    out = half.apply(variables, slices)
+    a = np.asarray(ref["preds"], dtype=np.float64)
+    b = np.asarray(out["preds"], dtype=np.float64)
+    assert np.isfinite(b).all()
+    # probabilities: bf16 activations move them only slightly
+    assert np.abs(a - b).mean() < 0.02, np.abs(a - b).mean()
+    assert np.abs(a - b).max() < 0.25, np.abs(a - b).max()
+
+
 def test_tracking_chunked_encoder_matches_unchunked(tiny_cfg, tiny_sam, rng):
     """The live-encoder chunking (``encoder_chunk``: nn.scan over slice
     chunks, needed so depth-255 eval volumes fit 16 GB — Hiera-L at batch

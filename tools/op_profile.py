@@ -172,19 +172,37 @@ def _sam_track():
     model = build_model(cfg, "bf16")
     model.train_mode = False
     s = 512
-    rng = np.random.default_rng(0)
-    data = jnp.asarray(rng.random((1, depth, s, s, 1)).astype(np.float32))
-    variables = jax.jit(model.init)(
-        jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
+    data = jax.jit(
+        lambda k: jax.random.uniform(k, (1, depth, s, s, 1), jnp.float32)
+    )(jax.random.key(0))
+    # synthesize params from init SHAPES (jitting the real init compiles a
+    # program as large as the forward — minutes; see tools/sam_perf.py)
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
     )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def synth(k):
+        ks = jax.random.split(k, len(leaves))
+        return treedef.unflatten([
+            (0.02 * jax.random.normal(ki, l.shape, l.dtype))
+            if jnp.issubdtype(l.dtype, jnp.floating)
+            else jnp.zeros(l.shape, l.dtype)
+            for ki, l in zip(ks, leaves)
+        ])
+
+    variables = synth(jax.random.key(1))
     if "--live" in sys.argv:
         inputs = data
     else:
         d_model = model.sam_cfg.d_model
         levels = tuple(
-            jnp.asarray(
-                rng.random((depth, s // st, s // st, d_model)), jnp.bfloat16
-            )
+            jax.jit(
+                lambda k, st=st: jax.random.uniform(
+                    k, (depth, s // st, s // st, d_model), jnp.bfloat16
+                )
+            )(jax.random.key(10 + st))
             for st in (4, 8, 16)
         )
         inputs = {"slices": data, "backbone": {
