@@ -40,6 +40,33 @@ def time_variant(name, extractor, stacks):
     return rate
 
 
+def synth_variables(model, s: int):
+    """Random variables from init SHAPES — jitting/eagerly running the real
+    init costs minutes through the tunnel (see time_tracking)."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def synth(k):
+        ks = jax.random.split(k, len(leaves))
+        return treedef.unflatten([
+            (0.02 * jax.random.normal(ki, l.shape, l.dtype))
+            if jnp.issubdtype(l.dtype, jnp.floating)
+            else jnp.zeros(l.shape, l.dtype)
+            for ki, l in zip(ks, leaves)
+        ])
+
+    variables = synth(jax.random.key(1))
+    jax.block_until_ready(variables)
+    print(f"  [params synthesized in {_t.perf_counter() - t0:.1f}s]")
+    return variables
+
+
 def time_train_step(cached: bool, depth: int = 8):
     """SAM2-large train step (frozen Hiera-L + LoRA decoder + prompt
     predictor, AdamW, bf16), full encoder forward or cached pyramids."""
@@ -61,7 +88,7 @@ def time_train_step(cached: bool, depth: int = 8):
     label = jnp.asarray(
         rng.integers(-1, 2, size=(1, depth, s, s)).astype(np.float32)
     )
-    variables = model.init(jax.random.key(0), data)
+    variables = synth_variables(model, s)
     if cached:
         d_model = model.sam_cfg.d_model
         levels = tuple(
@@ -123,33 +150,11 @@ def time_tracking(cached: bool, depth: int = 255):
     model = build_model(cfg, "bf16")
     model.train_mode = False
     s = 512
-    key = jax.random.key(0)
     data = jax.jit(
         lambda k: jax.random.uniform(k, (1, depth, s, s, 1), jnp.float32)
-    )(key)
-    # params are depth-independent: synthesize them from the 2-slice init
-    # SHAPES (eval_shape traces without compiling — jitting the real init
-    # compiles a program as large as the forward itself, minutes on this
-    # model) and fill with small normals on device.
-    t0 = time.perf_counter()
-    shapes = jax.eval_shape(
-        model.init, jax.random.key(0), jnp.zeros((1, 2, s, s, 1), jnp.float32)
-    )
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-
-    @jax.jit
-    def synth(k):
-        ks = jax.random.split(k, len(leaves))
-        return treedef.unflatten([
-            (0.02 * jax.random.normal(ki, l.shape, l.dtype))
-            if jnp.issubdtype(l.dtype, jnp.floating)
-            else jnp.zeros(l.shape, l.dtype)
-            for ki, l in zip(ks, leaves)
-        ])
-
-    variables = synth(jax.random.key(1))
-    jax.block_until_ready(variables)
-    print(f"  [params synthesized in {time.perf_counter() - t0:.1f}s]")
+    )(jax.random.key(0))
+    # params are depth-independent: synthesize from the 2-slice init shapes
+    variables = synth_variables(model, s)
     if cached:
         # cached pyramids are fp16 on disk (save_feature_hdf); keep them
         # sub-f32 on device too — f32 levels at D=255 alone are ~11 GB.
