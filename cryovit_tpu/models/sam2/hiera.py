@@ -19,11 +19,34 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import numpy as np
+
 from cryovit_tpu.models.sam2.config import HieraConfig
 from cryovit_tpu.ops.quant import int8_quant
 from cryovit_tpu.ops.resize import bicubic_resize_matrix
+from cryovit_tpu.ops.window_attention import (
+    window_block_attention,
+    window_block_mlp,
+    window_kernel_enabled,
+    window_kernel_interpret,
+)
 
 __all__ = ["Hiera"]
+
+LOG2E = 1.4426950408889634
+
+
+def _qkv_pack_cols(heads: int, d: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static column map for the head-padded qkv layout: real column j of
+    the (C, 3·H·d) projection lands at ``third·H·128 + head·128 + r`` —
+    every head starts a fresh 128-lane tile (see ops/window_attention.py).
+    Also returns the v-third "ones" columns (lane ``d`` of each head)."""
+    hd = heads * d
+    j = np.arange(3 * hd)
+    third, jj = j // hd, j % hd
+    cols = third * heads * 128 + (jj // d) * 128 + (jj % d)
+    ones_cols = 2 * heads * 128 + np.arange(heads) * 128 + d
+    return cols, ones_cols
 
 
 class _Dense(nn.Module):
@@ -61,6 +84,50 @@ class _Dense(nn.Module):
             wq, sw = int8_quant(kernel, axis=0)  # (C, D) int8, (1, D) f32
         out = jnp.einsum("...c,cd->...d", xq, wq, preferred_element_type=jnp.int32)
         return (out.astype(jnp.float32) * sx * sw).astype(self.dtype) + bias_d
+
+
+class _LNParams(nn.Module):
+    """Param holder matching an ``nn.LayerNorm`` {scale, bias} tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+class _AttnParams(nn.Module):
+    """Param holder matching ``MultiScaleAttention``'s tree (qkv _Dense +
+    proj nn.Dense) for the fused window-block kernel path."""
+
+    dim: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self):
+        kq, bq = _ProjParams(self.dim, 3 * self.dim_out, name="qkv")()
+        kp, bp = _ProjParams(self.dim_out, self.dim_out, name="proj")()
+        return kq, bq, kp, bp
+
+
+class _ProjParams(nn.Module):
+    """Param holder matching an ``nn.Dense``/``_Dense`` {kernel, bias}
+    tree (same shapes, same lecun-normal/zeros init) — used by the fused
+    window-attention kernel path, which needs the RAW weights to pack
+    rather than a projection applied for it."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 def _window_partition(x: jnp.ndarray, w: int) -> tuple[jnp.ndarray, tuple[int, int]]:
@@ -208,6 +275,37 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim_in = x.shape[-1]
+        h0, w0 = x.shape[1:3]
+        win = self.window_size
+        tokens = (h0 * w0) if self.pre_windowed else win * win
+        if (
+            win > 0
+            and not self.q_pool
+            and dim_in == self.dim_out
+            and self.dtype != jnp.float32
+            and 128 <= tokens <= 512
+            and tokens % 16 == 0
+            and (self.pre_windowed or (h0 % win == 0 and w0 % win == 0))
+            and window_kernel_enabled()
+        ):
+            # Fused Pallas window-block path (ops/window_attention.py):
+            # the whole transformer block runs as TWO kernels —
+            # [LN1 → qkv → per-head softmax attention → proj → +residual]
+            # and [LN2 → fc1 → exact GELU → fc2 → +residual] — one window
+            # per grid step. qkv planes, score tiles, probabilities, and
+            # the MLP hidden never touch HBM; per block the trunk streams
+            # x in and out twice instead of ~8 full-tensor passes, and
+            # the packed weights DMA once (constant block index). Applies
+            # to Hiera-L's stage-3 256-token windows (33 of 48 blocks);
+            # shorter windows (64/16-token) stay on the XLA path (per-dot
+            # floors beat the fusion win) and the 1024-token globals'
+            # f32 score tiles exceed VMEM. Under --int8 the fused blocks
+            # run bf16 (measured faster than their int8 XLA form: the
+            # fusion removes more HBM time than int8 MXU rate adds) while
+            # the other stages keep the w8a8 projections. Exact-tiling gate: with pad
+            # tokens the fused path would LN zeros into bias vectors
+            # (the XLA path pads AFTER norm1), so padded grids fall back.
+            return self._fused_window_block(x)
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
 
@@ -247,6 +345,65 @@ class MultiScaleBlock(nn.Module):
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
+
+    def _fused_window_block(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The fused two-kernel block (see the dispatch comment above).
+        Param tree is IDENTICAL to the XLA path: the holders declare the
+        same {kernel, bias}/{scale, bias} leaves under the same names;
+        packing (head-padded qkv columns with the softmax scale·log2e
+        folded into the q third and ones at each v head's denominator
+        lane; row-packed proj) happens on the weight VALUES at apply."""
+        h0, w0 = x.shape[1:3]
+        win = self.window_size
+        if self.pre_windowed:
+            xw = x
+        else:
+            xw, padded = _window_partition(x, win)  # exact tiling: no pad
+        bw, hh, ww, c = xw.shape
+        flat = xw.reshape(bw, hh * ww, c).astype(self.dtype)
+        heads = self.num_heads
+        d = self.dim_out // heads
+        hd = heads * d
+        g1, b1 = _LNParams(c, name="norm1")()
+        kq, bq, kp, bp = _AttnParams(c, self.dim_out, name="attn")()
+        cols, ones_cols = _qkv_pack_cols(heads, d)
+        scale = d**-0.5 * LOG2E
+        kq = jnp.concatenate([kq[:, :hd] * scale, kq[:, hd:]], axis=1)
+        wq = (
+            jnp.zeros((c, 3 * heads * 128), kq.dtype)
+            .at[:, cols].set(kq).astype(self.dtype)
+        )
+        bq = jnp.concatenate([bq[:hd] * scale, bq[hd:]])
+        bq_p = (
+            jnp.zeros((3 * heads * 128,), bq.dtype)
+            .at[cols].set(bq).at[ones_cols].set(1.0)
+            .astype(self.dtype)[None]
+        )
+        rows = (np.arange(hd) // d) * 128 + np.arange(hd) % d
+        wp = (
+            jnp.zeros((heads * 128, self.dim_out), kp.dtype)
+            .at[rows].set(kp).astype(self.dtype)
+        )
+        interp = window_kernel_interpret()
+        r1 = window_block_attention(
+            flat, g1[None], b1[None], wq, bq_p, wp,
+            bp.astype(self.dtype)[None], heads=heads, head_dim=d,
+            interpret=interp,
+        )
+        hidden = int(self.dim_out * self.mlp_ratio)
+        g2, b2 = _LNParams(c, name="norm2")()
+        k1, bb1 = _ProjParams(c, hidden, name="mlp_fc1")()
+        k2, bb2 = _ProjParams(hidden, self.dim_out, name="mlp_fc2")()
+        r2 = window_block_mlp(
+            r1, g2[None], b2[None],
+            k1.astype(self.dtype), bb1.astype(self.dtype)[None],
+            k2.astype(self.dtype), bb2.astype(self.dtype)[None],
+            interpret=interp,
+        )
+        out = r2.reshape(bw, hh, ww, c)
+        if not self.pre_windowed:
+            out = _window_unpartition(out, win, padded, (h0, w0))
+        return out
 
 
 class Hiera(nn.Module):

@@ -126,14 +126,17 @@ class Trainer:
             return contextlib.nullcontext()
 
         from cryovit_tpu.ops.conv3d_dm import set_conv3d_kernel
+        from cryovit_tpu.ops.window_attention import set_window_kernel
 
         @contextlib.contextmanager
         def guard():
             set_conv3d_kernel(False)
+            set_window_kernel(False)
             try:
                 yield
             finally:
                 set_conv3d_kernel(None)
+                set_window_kernel(None)
 
         return guard()
 

@@ -568,6 +568,47 @@ def test_hiera_window_persistent_matches_per_block(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_hiera_fused_window_block_matches_xla(rng):
+    """The fused Pallas window-block path (ops/window_attention.py:
+    [LN1→qkv→attention→proj→+res] + [LN2→MLP(exact gelu)→+res] kernels,
+    dispatched for 128–512-token windows) must keep the XLA path's param
+    tree exactly and its numerics to within the bf16 softmax recipe's
+    tolerance. Runs the kernels in interpret mode on CPU."""
+    from cryovit_tpu.models.sam2.config import HieraConfig
+    from cryovit_tpu.models.sam2.hiera import Hiera
+    from cryovit_tpu.ops.window_attention import set_window_kernel
+
+    cfg = HieraConfig(
+        embed_dim=8, num_heads=1, stages=(2, 1, 1, 1),
+        window_spec=(16, 4, 4, 2), global_att_blocks=(4,),
+    )
+    x = jnp.asarray(rng.random((1, 128, 128)), jnp.float32)
+    m = Hiera(cfg, dtype=jnp.bfloat16)
+    try:
+        set_window_kernel(False)
+        variables = jax.jit(m.init)(jax.random.key(0), x)
+        o_xla = jax.jit(m.apply)(variables, x)
+        set_window_kernel("interpret")
+        v2 = jax.jit(m.init)(jax.random.key(0), x)
+        paths = lambda v: [
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(v)
+        ]
+        assert paths(variables) == paths(v2)
+        assert [l.shape for l in jax.tree_util.tree_leaves(variables)] == [
+            l.shape for l in jax.tree_util.tree_leaves(v2)
+        ]
+        o_kernel = jax.jit(m.apply)(variables, x)
+    finally:
+        set_window_kernel(None)
+    for a, b in zip(o_xla, o_kernel):
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.9999, cos
+        assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
+
+
 def test_encoder_int8_mode_fidelity(tiny_cfg, rng):
     """The opt-in w8a8 trunk mode (``--int8``, hiera._Dense) must keep the
     same parameter tree as the bf16 path (converter compatibility) and
