@@ -395,6 +395,14 @@ def _flash_kernel_paired(
         def stage_scores(c):
             plx, i, h = chains[c]
             qs = Q_H[plx][h][i * ch : (i + 1) * ch]
+            if ablate == "noqk":  # attribution only (wrong math): one VPU
+                # broadcast stands in for the QK dot; exp + PV stay full
+                S[c] = jax.lax.broadcast_in_dim(
+                    qs[:, :1].astype(jnp.float32) * 1e-2,
+                    (qs.shape[0], K_H[plx][h].shape[0]),
+                    (0, 1),
+                )
+                return
             s = jax.lax.dot_general(
                 qs, K_H[plx][h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -415,6 +423,13 @@ def _flash_kernel_paired(
             if ablate == "nopv":  # perf-lab attribution only (wrong math)
                 O[c] = p[:, :d].astype(jnp.float32)
                 L[c] = jnp.ones((p.shape[0],), jnp.float32)
+                return
+            if ablate == "cheappv":  # attribution only (wrong math): a VPU
+                # row-sum CONSUMES the full p tile (so Mosaic cannot narrow
+                # the QK dot the way plain "nopv" lets it) without the PV
+                # matmul — prod − cheappv ≈ the PV matmul's marginal cost
+                L[c] = jnp.sum(p.astype(jnp.float32), axis=-1)
+                O[c] = p[:, :d].astype(jnp.float32) + L[c][:, None]
                 return
             O[c], L[c] = pv_aug(p, V_A[plx][h])
 

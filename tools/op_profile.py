@@ -145,10 +145,16 @@ def _dino_batch():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables,
     )
-    ex = DinoExtractor(variables, cfg=cfg, batch_size=64)
-    fn = ex._batch_fn(512, 512)
+    size = 512
+    if "--size" in sys.argv:
+        size = int(sys.argv[sys.argv.index("--size") + 1])
+    batch = 64 if size == 512 else 24
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
+    ex = DinoExtractor(variables, cfg=cfg, batch_size=batch)
+    fn = ex._batch_fn(size, size)
     rng = np.random.default_rng(0)
-    stack = jnp.asarray(rng.random((64, 512, 512)).astype(np.float32))
+    stack = jnp.asarray(rng.random((batch, size, size)).astype(np.float32))
     return lambda: fn(ex.variables, stack)
 
 

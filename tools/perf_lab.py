@@ -21,6 +21,16 @@ from cryovit_tpu.models.dinov2 import DinoV2Config, make_dinov2
 from cryovit_tpu.ops.resize import bicubic_resize_matrix
 
 BATCH, SIDE, NBATCH = 64, 512, 8
+if "--side" in sys.argv:
+    i = sys.argv.index("--side")
+    SIDE = int(sys.argv[i + 1])
+    del sys.argv[i : i + 2]
+    if SIDE > 512:
+        BATCH = 24  # the 1024² bench batch
+if "--batch" in sys.argv:
+    i = sys.argv.index("--batch")
+    BATCH = int(sys.argv[i + 1])
+    del sys.argv[i : i + 2]
 
 
 def build_fn(module, variables, side):
@@ -113,6 +123,20 @@ def main():
         # kernel-body attribution (wrong math, timing only)
         "pairs_noexp": lambda: pairs_module(functools.partial(fa, ablate="noexp")),
         "pairs_nopv": lambda: pairs_module(functools.partial(fa, ablate="nopv")),
+        # same attribution on the production (no-shift) softmax recipe —
+        # the deltas vs pairs_noshift split the kernel into QK / exp / PV
+        "pairs_noshift_noexp": lambda: pairs_module(
+            functools.partial(fa, softmax_shift=False, ablate="noexp")
+        ),
+        "pairs_noshift_nopv": lambda: pairs_module(
+            functools.partial(fa, softmax_shift=False, ablate="nopv")
+        ),
+        "pairs_noshift_cheappv": lambda: pairs_module(
+            functools.partial(fa, softmax_shift=False, ablate="cheappv")
+        ),
+        "pairs_noshift_noqk": lambda: pairs_module(
+            functools.partial(fa, softmax_shift=False, ablate="noqk")
+        ),
     }
     want = sys.argv[1:] or list(variants)
     for name in want:
