@@ -31,6 +31,7 @@ logger = logging.getLogger(__name__)
 __all__ = [
     "convert_sam2_state_dict",
     "convert_encoder_state_dict",
+    "convert_prompt_predictor_state_dict",
     "convert_memory_encoder_state_dict",
     "convert_memory_attention_state_dict",
     "verify_checkpoint",
@@ -170,13 +171,81 @@ def convert_memory_attention_state_dict(
     return {"params": mattn}
 
 
+def convert_prompt_predictor_state_dict(sd: dict[str, Any]) -> dict[str, Any]:
+    """``prompt_predictor.*`` tensors (reference-TRAINED artifacts only —
+    the published checkpoints lack this module; reference
+    ``models/sam2_blocks.py:146-221``) → :class:`PromptPredictor` params.
+    ``up_layers.{j}`` counts from the U-Net bottom (the reference builds
+    them in ``reversed(range(depth))``) ↔ flax ``up{depth-1-j}``."""
+
+    def conv3(prefix: str) -> dict[str, np.ndarray]:
+        # torch Conv3d (out, in, kd, kh, kw) → flax (kd, kh, kw, in, out)
+        w = _np(sd[f"{prefix}.weight"])
+        out = {"kernel": w.transpose(2, 3, 4, 1, 0)}
+        if f"{prefix}.bias" in sd:
+            out["bias"] = _np(sd[f"{prefix}.bias"])
+        return out
+
+    pd = "prompt_predictor"
+    depth = 0
+    while f"{pd}.down_layers.{depth}.layers.1.conv.weight" in sd:
+        depth += 1
+    params: dict[str, Any] = {
+        "in0": {"Conv_0": conv3(f"{pd}.init_conv.layers.0.conv")},
+        "in1": {"Conv_0": conv3(f"{pd}.init_conv.layers.1.conv")},
+        "prompt_out": conv3(f"{pd}.prompt_out"),
+        "box_out": _dense(sd, f"{pd}.box_out.fc"),
+    }
+    for i in range(depth):
+        params[f"down{i}_0"] = {
+            "Conv_0": conv3(f"{pd}.down_layers.{i}.layers.1.conv")
+        }
+        params[f"down{i}_1"] = {
+            "Conv_0": conv3(f"{pd}.down_layers.{i}.layers.2.conv")
+        }
+    for j, i in enumerate(reversed(range(depth))):
+        params[f"up{i}_0"] = {
+            "Conv_0": conv3(f"{pd}.up_layers.{j}.layers.0.conv")
+        }
+        params[f"up{i}_1"] = {
+            "Conv_0": conv3(f"{pd}.up_layers.{j}.layers.1.conv")
+        }
+    return {"params": params}
+
+
 def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, Any]:
     """Full-model conversion (encoder + prompt encoder + decoder + memory).
+
+    Accepts both the PUBLISHED checkpoints (``sam2.1_hiera_large.pt`` /
+    ``MedSAM2_latest.pt``) and reference-TRAINED artifacts (the state dict
+    a reference ``.model`` carries, ``utils.py:354-381``): trained dicts
+    nest the SAM2Base tree under the Lightning wrapper's ``model.`` prefix
+    (``models/sam2.py:63``), carry LoRA-wrapped decoder projections
+    (``...q_proj.proj.weight`` + ``.w_a``/``.w_b`` factors,
+    ``models/sam2_blocks.py:226-286``) and the trained PromptPredictor
+    under ``prompt_predictor.*`` — all consumed here.
 
     Returns the params for :class:`SAM2Model` under the ``sam`` scope used
     by the family wrapper. Unconsumed checkpoint keys are logged so gaps are
     visible rather than silent.
     """
+    prompt_pred = None
+    if any(k.startswith("model.") for k in sd):
+        # reference-trained wrapper dict: split the prompt predictor off,
+        # strip the SAM2Base prefix
+        if any(k.startswith("prompt_predictor.") for k in sd):
+            prompt_pred = convert_prompt_predictor_state_dict(
+                {
+                    k: v
+                    for k, v in sd.items()
+                    if k.startswith("prompt_predictor.")
+                }
+            )
+        sd = {
+            k.removeprefix("model."): v
+            for k, v in sd.items()
+            if k.startswith("model.")
+        }
     if not isinstance(sd, _TrackingDict):
         sd = _TrackingDict(sd)
     params: dict[str, Any] = {}
@@ -234,11 +303,22 @@ def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, An
         obj_head[f"layer{j}"] = _dense(sd, f"{md}.pred_obj_score_head.layers.{j}")
     dec["obj_score_head"] = obj_head
 
+    def lora_proj(prefix: str) -> dict[str, Any]:
+        # published: plain Linear; trained: LoRALinear wrapper with the
+        # base under .proj and the low-rank factors as .w_a/.w_b
+        if f"{prefix}.proj.weight" in sd:
+            out = {"proj": _dense(sd, f"{prefix}.proj")}
+            if f"{prefix}.w_a.weight" in sd:
+                out["w_a"] = _dense(sd, f"{prefix}.w_a")
+                out["w_b"] = _dense(sd, f"{prefix}.w_b")
+            return out
+        return {"proj": _dense(sd, prefix)}
+
     def attn(prefix: str) -> dict[str, Any]:
         return {
-            "q_proj": {"proj": _dense(sd, f"{prefix}.q_proj")},
+            "q_proj": lora_proj(f"{prefix}.q_proj"),
             "k_proj": _dense(sd, f"{prefix}.k_proj"),
-            "v_proj": {"proj": _dense(sd, f"{prefix}.v_proj")},
+            "v_proj": lora_proj(f"{prefix}.v_proj"),
             "out_proj": _dense(sd, f"{prefix}.out_proj"),
         }
 
@@ -276,6 +356,9 @@ def convert_sam2_state_dict(sd: dict[str, Any], cfg: SAM2Config) -> dict[str, An
     if cfg.add_tpos_enc_to_obj_ptrs and "obj_ptr_tpos_proj.weight" in sd:
         params["obj_ptr_tpos_proj"] = _dense(sd, "obj_ptr_tpos_proj")
     params["no_obj_ptr"] = _np(sd["no_obj_ptr"]).reshape(-1)
+
+    if prompt_pred is not None:
+        params["prompt_predictor"] = prompt_pred["params"]
 
     unconsumed = sorted(set(sd) - sd.consumed)
     if unconsumed:

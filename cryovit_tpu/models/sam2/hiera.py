@@ -285,6 +285,11 @@ class MultiScaleBlock(nn.Module):
             and self.dtype != jnp.float32
             and 128 <= tokens <= 512
             and tokens % 16 == 0
+            # head-padded packing puts each head's d real channels at the
+            # front of a 128-lane tile (ones/denominator at lane d): with
+            # d >= 128 the layout has no pad lane left and .at[].set would
+            # silently clip — all Hieras use d=72, gate stays defensive
+            and self.dim_out // self.num_heads < 128
             and (self.pre_windowed or (h0 % win == 0 and w0 % win == 0))
             and window_kernel_enabled()
         ):

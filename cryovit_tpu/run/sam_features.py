@@ -92,6 +92,7 @@ class SamFeatureExtractor:
         batch_size: int = 24,
         dtype=jnp.bfloat16,
         quant_int8: bool = False,
+        mesh=None,
     ) -> None:
         self.cfg = cfg or SAM2Config.large()
         # batch 24 is the measured throughput sweet spot on TPU v5e for
@@ -103,6 +104,12 @@ class SamFeatureExtractor:
         # outputs: cosine ≥0.9999 per level.
         # quant_int8: opt-in w8a8 trunk projections (``--int8``), same
         # deal as the DINOv2 extractor's mode — measured in BASELINE.md.
+        # mesh: shard the slice batch over the "data" axis via shard_map
+        # (the DinoExtractor recipe — slices are embarrassingly parallel,
+        # and inside shard_map each device traces its own unsharded
+        # per-shard program, so the fused Pallas window-block kernels
+        # survive multi-chip untouched; GSPMD cannot partition a
+        # pallas_call).
         self.encoder = ImageEncoder(self.cfg, dtype=dtype, quant_int8=quant_int8)
         variables, self._rgb_folded = _fold_rgb_patch_embed(variables)
         if quant_int8 and "qweights" not in variables:
@@ -110,7 +117,22 @@ class SamFeatureExtractor:
             variables["qweights"] = prequantize_trunk_int8(
                 variables.get("params", variables)
             )
-        self.variables = jax.device_put(variables)
+        self.mesh = mesh
+        if mesh is not None:
+            from cryovit_tpu.parallel.mesh import batch_sharding, replicate
+
+            self.sharding = batch_sharding(mesh)
+            if batch_size % mesh.size:
+                # shard_map needs equal per-device shards; the tail batch
+                # pads up to batch_size anyway, so rounding up is free
+                batch_size = -(-batch_size // mesh.size) * mesh.size
+                logger.info("batch_size rounded up to %d (mesh of %d)",
+                            batch_size, mesh.size)
+            variables = replicate(variables, mesh)
+        else:
+            self.sharding = None
+            variables = jax.device_put(variables)
+        self.variables = variables
         self.batch_size = batch_size
         self._fn = None
 
@@ -119,8 +141,7 @@ class SamFeatureExtractor:
             return self._fn
         s = self.cfg.image_size
 
-        @jax.jit
-        def fn(variables, slices):  # (B, H, W) f32
+        def compute(variables, slices):  # (B, H, W) f32
             if slices.shape[1:] == (s, s):
                 x = slices  # same-size resize is NOT free: XLA keeps the
                 # identity gather/matmul pair unless we skip it here
@@ -143,6 +164,23 @@ class SamFeatureExtractor:
                 ],
             }
 
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.jit(
+                jax.shard_map(
+                    compute,
+                    mesh=self.mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P("data"),
+                    # pallas_call has no vma annotations; replication safety
+                    # is by construction (params replicated, batch sharded)
+                    check_vma=False,
+                )
+            )
+        else:
+            fn = jax.jit(compute)
+
         self._fn = partial(fn, self.variables)
         return self._fn
 
@@ -159,7 +197,12 @@ class SamFeatureExtractor:
                 batch = np.concatenate(
                     [batch, np.zeros((bs - n, *batch.shape[1:]), batch.dtype)]
                 )
-            out = fn(jnp.asarray(batch))
+            dev = (
+                jax.device_put(jnp.asarray(batch), self.sharding)
+                if self.sharding is not None
+                else jnp.asarray(batch)
+            )
+            out = fn(dev)
             chunks.append(
                 {
                     key: [np.asarray(level)[:n] for level in levels]

@@ -136,17 +136,22 @@ def export_unet3d_state_dict(variables: dict) -> dict[str, np.ndarray]:
 
 
 def export_state_dict(
-    variables: dict, model_type: ModelType
+    variables: dict, model_type: ModelType, sam_cfg=None
 ) -> dict[str, np.ndarray]:
     if model_type == ModelType.CRYOVIT:
         return export_cryovit_state_dict(variables)
     if model_type == ModelType.UNET3D:
         return export_unet3d_state_dict(variables)
-    raise ValueError(
-        f"torch export supports cryovit/unet3d families, not "
-        f"{model_type} (SAM2 weights originate from the published torch "
-        "checkpoint; LoRA/prompt-predictor export is not a reference format)"
-    )
+    if model_type in (ModelType.SAM2, ModelType.MEDSAM):
+        from cryovit_tpu.train.torch_export_sam2 import export_sam2_state_dict
+
+        if sam_cfg is None:
+            raise ValueError(
+                "SAM2/MedSAM export needs the SAM2Config the variables were "
+                "built with (pass sam_cfg=model.sam_cfg)"
+            )
+        return export_sam2_state_dict(variables, sam_cfg)
+    raise ValueError(f"unknown model type for torch export: {model_type}")
 
 
 # ---- reference model_cfg ---------------------------------------------------
@@ -181,6 +186,16 @@ def reference_model_cfg(model_type: ModelType, model=None) -> dict[str, Any]:
             "input_key": "data",
             "lr": 3e-3,
         }
+    elif model_type in (ModelType.SAM2, ModelType.MEDSAM):
+        # reference configs/model/{sam2,medsam}.yaml + default_sam.yaml:
+        # the name picks the published checkpoint in
+        # create_sam_model_from_weights (models/sam2.py:802-842)
+        cfg = {
+            "_target_": "cryovit.models.sam2.SAM2",
+            "name": "MedSAM" if model_type == ModelType.MEDSAM else "SAM2",
+            "input_key": "data",
+            "lr": 5e-5,
+        }
     else:
         raise ValueError(f"no reference cfg template for {model_type}")
     cfg["model_dir"] = None
@@ -194,6 +209,19 @@ def reference_model_cfg(model_type: ModelType, model=None) -> dict[str, Any]:
         "f1_metric": {"_target_": _METRIC_TARGETS["f1_metric"]},
     }
     cfg["custom_kwargs"] = None
+    if model_type in (ModelType.SAM2, ModelType.MEDSAM):
+        cfg["custom_kwargs"] = {
+            "prompt_lr": float(getattr(model, "prompt_lr", 1e-4)),
+            "num_init_cond_slices": list(
+                getattr(model, "num_init_cond_slices", (1, 1))
+            ),
+            "rand_init_cond_slices": list(
+                getattr(model, "rand_init_cond_slices", (True, False))
+            ),
+            "use_cache_features": bool(
+                getattr(model, "use_cache_features", True)
+            ),
+        }
     if model is not None:
         cfg["lr"] = float(model.lr)
         cfg["weight_decay"] = float(model.weight_decay)
@@ -326,7 +354,12 @@ def save_torch_model(
     label_key, DictConfig model_cfg, torch state_dict)``. The reference's
     ``load_model`` (``utils.py:431-468``) instantiates the Lightning model
     from ``model_cfg`` and strict-loads the weights."""
-    sd = _to_torch_state_dict(export_state_dict(variables, model.model_type))
+    sd = _to_torch_state_dict(
+        export_state_dict(
+            variables, model.model_type,
+            sam_cfg=getattr(model, "sam_cfg", None),
+        )
+    )
     cfg = reference_model_cfg(model.model_type, model=model)
     save_path = Path(save_path)
     save_path.parent.mkdir(parents=True, exist_ok=True)
@@ -346,7 +379,7 @@ def save_torch_model(
 
 
 def save_torch_weights(
-    variables: dict, model_type: ModelType, save_path: str | Path
+    variables: dict, model_type: ModelType, save_path: str | Path, sam_cfg=None
 ) -> Path:
     """Write a reference-style raw ``weights.pt`` (``torch.save``-d state
     dict, reference ``run/train_model.py:312``) from flax variables."""
@@ -354,6 +387,10 @@ def save_torch_weights(
 
     save_path = Path(save_path)
     save_path.parent.mkdir(parents=True, exist_ok=True)
-    torch.save(_to_torch_state_dict(export_state_dict(variables, model_type)),
-               save_path)
+    torch.save(
+        _to_torch_state_dict(
+            export_state_dict(variables, model_type, sam_cfg=sam_cfg)
+        ),
+        save_path,
+    )
     return save_path

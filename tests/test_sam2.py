@@ -646,3 +646,71 @@ def test_encoder_int8_mode_fidelity(tiny_cfg, rng):
     out_pre = jax.jit(q.apply)(qw, x)
     for a, b in zip(out_q["backbone_fpn"], out_pre["backbone_fpn"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hiera_fused_window_block_standalone_dispatch(rng):
+    """The fused path's OWN partition/unpartition branch (a fused-eligible
+    block dispatched standalone, pre_windowed=False) must match the XLA
+    path too — the window-persistent run loop groups eligible neighbors
+    as pre_windowed, so this branch only fires for isolated blocks or
+    ``window_persistent=False`` (advisor r4: previously untested)."""
+    from cryovit_tpu.models.sam2.config import HieraConfig
+    from cryovit_tpu.models.sam2.hiera import Hiera
+    from cryovit_tpu.ops.window_attention import set_window_kernel
+
+    cfg = HieraConfig(
+        embed_dim=8, num_heads=1, stages=(2, 1, 1, 1),
+        window_spec=(16, 4, 4, 2), global_att_blocks=(4,),
+    )
+    x = jnp.asarray(rng.random((1, 128, 128)), jnp.float32)
+    m = Hiera(cfg, dtype=jnp.bfloat16, window_persistent=False)
+    try:
+        set_window_kernel(False)
+        variables = jax.jit(m.init)(jax.random.key(0), x)
+        o_xla = jax.jit(m.apply)(variables, x)
+        set_window_kernel("interpret")
+        o_kernel = jax.jit(m.apply)(variables, x)
+    finally:
+        set_window_kernel(None)
+    for a, b in zip(o_xla, o_kernel):
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.9999, cos
+        assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
+
+
+def test_window_attention_matches_reference(rng):
+    """The standalone per-window attention kernel (probe/building-block
+    pair exported from ops/window_attention.py) must match its XLA oracle
+    on the head-padded layout (advisor r4: was export-only, untested)."""
+    from cryovit_tpu.ops.window_attention import (
+        window_attention,
+        window_attention_reference,
+    )
+
+    heads, d, n, t = 2, 72, 3, 64
+    import math
+
+    def padded(key, ones_col=False):
+        x = np.zeros((n, t, heads * 128), np.float32)
+        for h in range(heads):
+            x[:, :, h * 128 : h * 128 + d] = rng.standard_normal((n, t, d))
+            if ones_col:
+                x[:, :, h * 128 + d] = 1.0
+        return jnp.asarray(x, jnp.bfloat16)
+
+    q = padded(0) * (d**-0.5 * math.log2(math.e))
+    k = padded(1)
+    v = padded(2, ones_col=True)
+    out_k = window_attention(q, k, v, head_dim=d, interpret=True)
+    out_ref = window_attention_reference(q, k, v, head_dim=d)
+    a = np.asarray(out_k, np.float64)
+    b = np.asarray(out_ref, np.float64)
+    # compare the real lanes (pad lanes hold the denominator column ≡ 1)
+    for h in range(heads):
+        np.testing.assert_allclose(
+            a[..., h * 128 : h * 128 + d],
+            b[..., h * 128 : h * 128 + d],
+            atol=0.02, rtol=0.02,
+        )
