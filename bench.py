@@ -114,13 +114,14 @@ def _dino_extraction(jnp, np, quant_int8: bool) -> float:
         variables, cfg=cfg, batch_size=batch, quant_int8=quant_int8
     )
 
-    rng = np.random.default_rng(0)
     # distinct input per timed step: the tunneled runtime has been observed
-    # to memoize pure executions on identical inputs, which breaks timing
-    stacks = [
-        jnp.asarray(rng.random((batch, side, side)).astype(np.float32))
-        for _ in range(n_batches)
-    ]
+    # to memoize pure executions on identical inputs, which breaks timing.
+    # Generated ON DEVICE: host-side stacks would upload ~600 MB through
+    # the ~5 MB/s axon tunnel and dominate bench wall time.
+    mk = jax.jit(
+        lambda k: jax.random.uniform(k, (batch, side, side), jnp.float32)
+    )
+    stacks = [mk(jax.random.key(i)) for i in range(n_batches)]
 
     fn = extractor._batch_fn(side, side)
     # warmup: force a real value read (the tunneled runtime's
@@ -177,16 +178,17 @@ def _sam_extraction_section(jnp, np, quant_int8: bool) -> None:
         make_sam_encoder_variables,
     )
 
+    import jax
+
     sam_vars = make_sam_encoder_variables("", random_init=True)
     sam_ex = SamFeatureExtractor(sam_vars, quant_int8=quant_int8)
     sam_fn = sam_ex._batch_fn()
-    rng = np.random.default_rng(3)
-    stacks = [
-        jnp.asarray(
-            rng.random((sam_ex.batch_size, 512, 512)).astype(np.float32)
+    mk = jax.jit(
+        lambda k: jax.random.uniform(
+            k, (sam_ex.batch_size, 512, 512), jnp.float32
         )
-        for _ in range(8)
-    ]
+    )
+    stacks = [mk(jax.random.key(100 + i)) for i in range(8)]
     float(jnp.sum(sam_fn(stacks[0])["backbone_fpn"][0].astype(jnp.float32)))
     t0 = time.perf_counter()
     sums = [
@@ -304,7 +306,16 @@ def _train_step_section(jnp, np, kind: str) -> None:
     from cryovit_tpu.models.metrics import DiceMetric
     from cryovit_tpu.train.loop import Trainer, TrainState
 
-    rng = np.random.default_rng(11)
+    def mk_data(shape, key):  # on device — see the tunnel note above
+        return jax.jit(
+            lambda k: jax.random.normal(k, shape, jnp.float32)
+        )(jax.random.key(key))
+
+    def mk_label(shape, key):
+        return jax.jit(
+            lambda k: jax.random.randint(k, shape, -1, 2).astype(jnp.float32)
+        )(jax.random.key(key))
+
     if kind == "cryovit":
         # the reference's full training crop: 128×512×512 voxels =
         # 128×32×32 DINO patch grid (tomo_dataset.py:148-178)
@@ -314,12 +325,8 @@ def _train_step_section(jnp, np, kind: str) -> None:
             metrics={"dice_metric": DiceMetric()}, dtype=jnp.bfloat16,
         )
         depth = 128
-        data = jnp.asarray(
-            rng.standard_normal((1, depth, 32, 32, 1536)).astype(np.float32)
-        )
-        label = jnp.asarray(
-            rng.integers(-1, 2, size=(1, depth, 512, 512)).astype(np.float32)
-        )
+        data = mk_data((1, depth, 32, 32, 1536), 11)
+        label = mk_label((1, depth, 512, 512), 12)
         baseline = CRYOVIT_STEP_A100_SLICES_PER_SEC
         unit = "slices/sec (128x512x512 crop, fwd+bwd+AdamW)"
     else:
@@ -329,12 +336,8 @@ def _train_step_section(jnp, np, kind: str) -> None:
             metrics={"dice_metric": DiceMetric()}, dtype=jnp.bfloat16,
         )
         depth = 32
-        data = jnp.asarray(
-            rng.standard_normal((1, depth, 256, 256, 1)).astype(np.float32)
-        )
-        label = jnp.asarray(
-            rng.integers(-1, 2, size=(1, depth, 256, 256)).astype(np.float32)
-        )
+        data = mk_data((1, depth, 256, 256, 1), 13)
+        label = mk_label((1, depth, 256, 256), 14)
         baseline = UNET3D_STEP_A100_SLICES_PER_SEC
         unit = "slices/sec (32x256x256 raw-voxel crop, fwd+bwd+AdamW)"
 
@@ -416,7 +419,7 @@ def main() -> None:
     # persistent compile cache: first-ever run pays full compilation,
     # subsequent bench runs on this machine start in seconds
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     import jax.numpy as jnp
     import numpy as np
 

@@ -223,7 +223,7 @@ def main():
     jax.config.update(
         "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     which = sys.argv[1] if len(sys.argv) > 1 else "sam"
     fn = {"sam": _sam_batch, "dino": _dino_batch, "track": _sam_track}[which]()
     top = 30

@@ -20,7 +20,7 @@ import time
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import jax.numpy as jnp
 import numpy as np
