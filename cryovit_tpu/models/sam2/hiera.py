@@ -25,6 +25,7 @@ from cryovit_tpu.models.sam2.config import HieraConfig
 from cryovit_tpu.ops.quant import int8_quant
 from cryovit_tpu.ops.resize import bicubic_resize_matrix
 from cryovit_tpu.ops.window_attention import (
+    window_attention,
     window_block_attention,
     window_block_mlp,
     window_kernel_enabled,
@@ -167,6 +168,26 @@ class MultiScaleAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, _ = x.shape
         head_dim = self.dim_out // self.num_heads
+        if (
+            not self.q_pool
+            and self.dtype != jnp.float32
+            and x.shape[-1] == self.dim_out
+            and head_dim < 128
+            and 512 <= h * w <= 2048
+            and (h * w) % 16 == 0
+            and window_kernel_enabled()
+        ):
+            # Global-attention kernel path (Hiera-L's 3 global blocks at
+            # 1024 tokens): the fused two-kernel block is VMEM-infeasible
+            # here (a (1024, 3·H·128) f32 qkv intermediate alone is
+            # ~12 MB), so the projections stay XLA but attention proper
+            # runs as the per-(batch, head) Pallas kernel on head-padded
+            # planes — the (1024, 1024) f32 score tile, bf16-exp2
+            # probabilities, and the PV-fused softmax denominator live
+            # and die in VMEM instead of round-tripping ~400 MB of score
+            # tensors per block through HBM (the XLA path below
+            # materializes s, p, and attn at (B, H, 1024, 1024)).
+            return self._global_kernel_attention(x)
         qkv = _Dense(
             3 * self.dim_out,
             dtype=self.dtype,
@@ -253,6 +274,52 @@ class MultiScaleAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(b, *out_hw, self.dim_out)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
+
+    def _global_kernel_attention(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pallas attention for the global (1024-token) blocks on the
+        head-padded plane layout (see the dispatch comment above). Param
+        tree is IDENTICAL to the XLA path: the holders declare the same
+        ``qkv``/``proj`` {kernel, bias} leaves; head-padding (zero
+        columns, softmax scale·log2e folded into the q third, ones at
+        each v head's denominator lane; row-packed proj) happens on the
+        weight VALUES at apply — the same packing as the fused
+        window-block path (``MultiScaleBlock._fused_window_block``)."""
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        d = self.dim_out // heads
+        hd = heads * d
+        hp = heads * 128
+        kq, bq = _ProjParams(c, 3 * self.dim_out, name="qkv")()
+        kp, bp = _ProjParams(self.dim_out, self.dim_out, name="proj")()
+        cols, ones_cols = _qkv_pack_cols(heads, d)
+        scale = d**-0.5 * LOG2E
+        kq = jnp.concatenate([kq[:, :hd] * scale, kq[:, hd:]], axis=1)
+        wq = (
+            jnp.zeros((c, 3 * hp), kq.dtype)
+            .at[:, cols].set(kq).astype(self.dtype)
+        )
+        bq = jnp.concatenate([bq[:hd] * scale, bq[hd:]])
+        bq_p = (
+            jnp.zeros((3 * hp,), bq.dtype)
+            .at[cols].set(bq).at[ones_cols].set(1.0)
+            .astype(self.dtype)[None]
+        )
+        flat = x.reshape(b, h * w, c).astype(self.dtype)
+        planes = flat @ wq + bq_p  # (b, n, 3·H·128), pad folded into W
+        out = window_attention(
+            planes[..., :hp],
+            planes[..., hp : 2 * hp],
+            planes[..., 2 * hp :],
+            head_dim=d,
+            interpret=window_kernel_interpret(),
+        )
+        rows = (np.arange(hd) // d) * 128 + np.arange(hd) % d
+        wp = (
+            jnp.zeros((hp, self.dim_out), kp.dtype)
+            .at[rows].set(kp).astype(self.dtype)
+        )
+        out = out @ wp + bp.astype(self.dtype)[None]
+        return out.reshape(b, h, w, self.dim_out)
 
 
 class MultiScaleBlock(nn.Module):

@@ -714,3 +714,44 @@ def test_window_attention_matches_reference(rng):
             b[..., h * 128 : h * 128 + d],
             atol=0.02, rtol=0.02,
         )
+
+
+def test_hiera_global_kernel_attention_matches_xla(rng):
+    """The global-attention Pallas path (1024-token blocks on head-padded
+    planes, MultiScaleAttention._global_kernel_attention) must keep the
+    XLA path's param tree exactly and its numerics to within the bf16
+    softmax recipe's tolerance. Runs the kernel in interpret mode on CPU."""
+    from cryovit_tpu.models.sam2.config import HieraConfig
+    from cryovit_tpu.models.sam2.hiera import Hiera
+    from cryovit_tpu.ops.window_attention import set_window_kernel
+
+    # stage-1 grid 32×32 → block 1 is a 1024-token global block
+    cfg = HieraConfig(
+        embed_dim=8, num_heads=1, stages=(2, 1, 1, 1),
+        window_spec=(4, 4, 4, 2), global_att_blocks=(1,),
+    )
+    x = jnp.asarray(rng.random((1, 128, 128)), jnp.float32)
+    m = Hiera(cfg, dtype=jnp.bfloat16)
+    try:
+        set_window_kernel(False)
+        variables = jax.jit(m.init)(jax.random.key(0), x)
+        o_xla = jax.jit(m.apply)(variables, x)
+        set_window_kernel("interpret")
+        v2 = jax.jit(m.init)(jax.random.key(0), x)
+        paths = lambda v: [
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_leaves_with_path(v)
+        ]
+        assert paths(variables) == paths(v2)
+        assert [l.shape for l in jax.tree_util.tree_leaves(variables)] == [
+            l.shape for l in jax.tree_util.tree_leaves(v2)
+        ]
+        o_kernel = jax.jit(m.apply)(variables, x)
+    finally:
+        set_window_kernel(None)
+    for a, b in zip(o_xla, o_kernel):
+        a = np.asarray(a, dtype=np.float64).ravel()
+        b = np.asarray(b, dtype=np.float64).ravel()
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.9999, cos
+        assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
