@@ -43,6 +43,7 @@ class _SAM2Forward(nn.Module):
     cfg: SAM2Config
     dtype: Any = jnp.float32
     encoder_chunk: int = 64  # see SAM2Model.encoder_chunk
+    kv_cache: bool = False  # see SAM2Model.kv_cache (measured flat; off)
 
     @nn.compact
     def __call__(
@@ -65,6 +66,7 @@ class _SAM2Forward(nn.Module):
             cfg=self.cfg,
             dtype=self.dtype,
             encoder_chunk=self.encoder_chunk,
+            kv_cache=self.kv_cache,
             name="sam",
         )(x, backbone, order=order, num_cond=num_cond)
         preds, prompts = out["preds"], out["prompts"]

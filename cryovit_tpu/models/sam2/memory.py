@@ -151,11 +151,43 @@ class MemoryEncoder(nn.Module):
                        name="out_proj")(x)
 
 
+class _KVParams(nn.Module):
+    """{kernel, bias} param holder matching ``nn.Dense``'s tree (same
+    shapes/inits, same name) — the cached cross-attention path needs the
+    RAW weights so the linear k/v projection can split across the cached
+    memory term, the static grid-PE term, and the recency-table term
+    (``y = W·(mem + pos) + b = W·mem + (W·grid_pe + b) + W·tpos[r]``)."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class _MemAttnLayer(nn.Module):
     """sam2 ``MemoryAttentionLayer`` (``memory_attention.py``), with the
     published ``sam2.1_hiera_l`` layer config: ``pos_enc_at_attn=False``,
     ``pos_enc_at_cross_attn_keys=True``, ``pos_enc_at_cross_attn_queries=
     False``, ReLU activation, ``dim_feedforward = 8·d_model``, one head.
+
+    Two cross-attention paths over the SAME parameters:
+
+    - :meth:`__call__` — the reference-shaped path: project the full
+      flattened memory bank (+pos) per call (the training path and the
+      python-oracle contract),
+    - :meth:`cached` — consume per-slot k/v CACHES projected once at
+      memory-write time (``project_spatial``/``project_ptr``), assembling
+      the position stream from parameter-only tables that XLA hoists out
+      of the tracking scan. Exact math by linearity of the projection
+      and of RoPE (see ``SAM2Model._write_memory``); motivated by the r5
+      ablation: with an unchanging bank XLA hoists the bank-side
+      compute and the scan body drops 58% (BASELINE.md track_lab table).
     """
 
     d_model: int
@@ -164,66 +196,188 @@ class _MemAttnLayer(nn.Module):
     grid: tuple[int, int] = (32, 32)
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self) -> None:
+        d = self.d_model
+        dt = self.dtype
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=dt)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=dt)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=dt)
+        self.self_q = nn.Dense(d, dtype=dt)
+        self.self_k = nn.Dense(d, dtype=dt)
+        self.self_v = nn.Dense(d, dtype=dt)
+        self.self_out = nn.Dense(d, dtype=dt)
+        self.cross_q = nn.Dense(d, dtype=dt)
+        self.cross_k = _KVParams(self.mem_dim, d)
+        self.cross_v = _KVParams(self.mem_dim, d)
+        self.cross_out = nn.Dense(d, dtype=dt)
+        self.mlp_fc1 = nn.Dense(8 * d, dtype=dt)
+        self.mlp_fc2 = nn.Dense(d, dtype=dt)
+
+    # ---- shared pieces ---------------------------------------------------
+
+    def _heads(self, t):
+        return t.reshape(t.shape[0], t.shape[1], self.num_heads, -1)
+
+    def _attend(self, q, k, v, mask_cols=None):
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q * (q.shape[-1] ** -0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+        if mask_cols is not None:
+            logits = jnp.where(mask_cols[:, None, None, :], logits, -1e30)
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        return out.reshape(out.shape[0], out.shape[1], -1)
+
+    def _self_attn(self, x):
+        # self-attention with axial RoPE (pos_enc_at_attn=False: no pos
+        # added; RoPE is applied after projection + head split)
+        y = self.norm1(x)
+        q = axial_rope(self._heads(self.self_q(y)), self.grid)
+        k = axial_rope(self._heads(self.self_k(y)), self.grid)
+        v = self._heads(self.self_v(y))
+        return x + self.self_out(self._attend(q, k, v))
+
+    def _mlp(self, x):
+        # MLP (ReLU, dim_feedforward = 8·d in the published config)
+        y = self.norm3(x)
+        return x + self.mlp_fc2(nn.relu(self.mlp_fc1(y)))
+
+    def _kv_weights(self):
+        kk, kb = self.cross_k()
+        vk, vb = self.cross_v()
+        dt = self.dtype
+        return kk.astype(dt), kb.astype(dt), vk.astype(dt), vb.astype(dt)
+
+    # ---- reference-shaped path -------------------------------------------
+
     def __call__(self, x, mem, mem_pos, mem_mask, n_rope_k: int):
         """x (B, n, d); mem/mem_pos (B, M, mem_dim); mem_mask (B, M) bool;
         the first ``n_rope_k`` memory tokens are spatial (RoPE'd, tiled
         over grid repeats); the rest are object pointers (no RoPE)."""
-        d = self.d_model
-        h = self.num_heads
-        hd = d // h
-        bsz, n, _ = x.shape
-
-        def heads(t):
-            return t.reshape(t.shape[0], t.shape[1], h, -1)
-
-        def attend(q, k, v, mask_cols=None):
-            logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q * (q.shape[-1] ** -0.5), k,
-                preferred_element_type=jnp.float32,
-            )
-            if mask_cols is not None:
-                logits = jnp.where(mask_cols[:, None, None, :], logits, -1e30)
-            attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-            return out.reshape(out.shape[0], out.shape[1], -1)
-
-        # self-attention with axial RoPE (pos_enc_at_attn=False: no pos
-        # added; RoPE is applied after projection + head split)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
-        q = axial_rope(heads(nn.Dense(d, dtype=self.dtype, name="self_q")(y)), self.grid)
-        k = axial_rope(heads(nn.Dense(d, dtype=self.dtype, name="self_k")(y)), self.grid)
-        v = heads(nn.Dense(d, dtype=self.dtype, name="self_v")(y))
-        x = x + nn.Dense(d, dtype=self.dtype, name="self_out")(attend(q, k, v))
+        n = x.shape[1]
+        x = self._self_attn(x)
 
         # cross-attention to the memory bank: k/v project mem_dim→d_model
         # (sam2 RoPEAttention kv_in_dim); pos added to k only, never v
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        q = axial_rope(heads(nn.Dense(d, dtype=self.dtype, name="cross_q")(y)), self.grid)
-        k = heads(nn.Dense(d, dtype=self.dtype, name="cross_k")(mem + mem_pos))
-        v = heads(nn.Dense(d, dtype=self.dtype, name="cross_v")(mem))
+        y = self.norm2(x)
+        q = axial_rope(self._heads(self.cross_q(y)), self.grid)
+        kk, kb, vk, vb = self._kv_weights()
+        k = self._heads((mem + mem_pos).astype(self.dtype) @ kk + kb)
+        v = self._heads(mem.astype(self.dtype) @ vk + vb)
         # rope_k_repeat over the spatial slots; pointer tokens excluded
         repeat = n_rope_k // n
         k_sp = axial_rope(k[:, :n_rope_k], self.grid, repeat=repeat)
         k = jnp.concatenate([k_sp, k[:, n_rope_k:]], axis=1)
-        x = x + nn.Dense(d, dtype=self.dtype, name="cross_out")(attend(q, k, v, mem_mask))
+        x = x + self.cross_out(self._attend(q, k, v, mem_mask))
+        return self._mlp(x)
 
-        # MLP (ReLU, dim_feedforward = 8·d in the published config)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        y = nn.Dense(8 * d, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.relu(y)
-        return x + nn.Dense(d, dtype=self.dtype, name="mlp_fc2")(y)
+    # ---- cached path ------------------------------------------------------
+
+    def project_spatial(self, mem):
+        """One written memory slot (B, e², mem_dim) → this layer's k/v
+        cache entries: ``k = rope(W_k·mem)`` (bias-free — the bias rides
+        the static grid term so it is added exactly once) and
+        ``v = W_v·mem + b_v`` (v never sees pos)."""
+        kk, kb, vk, vb = self._kv_weights()
+        mem = mem.astype(self.dtype)
+        k = axial_rope(self._heads(mem @ kk), self.grid)
+        return k.reshape(mem.shape[0], mem.shape[1], -1), mem @ vk + vb
+
+    def project_ptr(self, tok):
+        """Object-pointer tokens (B, ratio, mem_dim) → k/v cache entries
+        (no RoPE on pointer tokens; k bias-free — it joins with the
+        pointer-PE term per slice)."""
+        kk, kb, vk, vb = self._kv_weights()
+        tok = tok.astype(self.dtype)
+        return tok @ kk, tok @ vk + vb
+
+    def cached(self, x, k_sp, v_sp, k_pt, v_pt, recency, tpos, ptr_pe, mask):
+        """Cross-attention from per-slot caches.
+
+        k_sp/v_sp: (B, M, e², d) — rope'd bias-free W_k·mem / biased
+        W_v·mem per slot. k_pt/v_pt: (B, P, ratio, d). recency: (M,)
+        int32 recency index per spatial slot; tpos: (num_maskmem,
+        mem_dim) ``maskmem_tpos_enc``; ptr_pe: (P, mem_dim) per-pointer
+        temporal PE (zeros when disabled); mask: (B, M·e² + P·ratio).
+
+        The static terms — ``rope(W_k·grid_pe + b_k)`` and the
+        ``rope(W_k·tpos[r])`` recency table — depend only on parameters,
+        so XLA hoists them out of the tracking scan; per slice the k
+        stream assembles from the caches with two broadcast adds and a
+        (num_maskmem)-row gather instead of re-projecting and re-RoPE-ing
+        all M·e² memory tokens.
+        """
+        from cryovit_tpu.models.sam2.encoder import sine_position_encoding
+
+        b, m, e2, d = k_sp.shape
+        x = self._self_attn(x)
+        y = self.norm2(x)
+        q = axial_rope(self._heads(self.cross_q(y)), self.grid)
+        kk, kb, vk, vb = self._kv_weights()
+
+        # parameter-only tables (loop-invariant → hoisted out of the scan)
+        grid_pe = jnp.asarray(
+            sine_position_encoding(self.grid[0], self.grid[1], self.mem_dim),
+            dtype=self.dtype,
+        ).reshape(e2, self.mem_dim)
+        base = self._heads((grid_pe @ kk + kb)[None])  # (1, e², h, d/h)
+        base_r = axial_rope(base, self.grid).reshape(e2, d)
+        ntp = tpos.shape[0]
+        tpos_b = jnp.broadcast_to(
+            (tpos.astype(self.dtype) @ kk)[:, None, :], (ntp, e2, d)
+        )
+        tpos_r = axial_rope(self._heads(tpos_b), self.grid).reshape(ntp, e2, d)
+
+        k_spatial = (
+            k_sp + base_r[None, None] + tpos_r[recency][None]
+        ).reshape(b, m * e2, d)
+        ptr_k_pe = (ptr_pe.astype(self.dtype) @ kk + kb)[None, :, None, :]
+        k_ptr = (k_pt + ptr_k_pe).reshape(b, -1, d)
+        k = self._heads(jnp.concatenate([k_spatial, k_ptr], axis=1))
+        v = self._heads(
+            jnp.concatenate(
+                [v_sp.reshape(b, m * e2, d), v_pt.reshape(b, -1, d)], axis=1
+            )
+        )
+        x = x + self.cross_out(self._attend(q, k, v, mask))
+        return self._mlp(x)
 
 
 class MemoryAttention(nn.Module):
     """Condition current-slice features on the memory bank
     (sam2 ``MemoryAttention``: ``pos_enc_at_input`` adds 0.1·curr_pos,
-    final LayerNorm after the layer stack)."""
+    final LayerNorm after the layer stack).
+
+    Besides the reference-shaped :meth:`__call__`, exposes the cached
+    tracking path: :meth:`project_memory` / :meth:`project_ptr` turn one
+    newly written memory slot into ALL layers' k/v cache entries (one
+    batched projection at write time), and :meth:`cached` consumes the
+    caches per slice. See ``_MemAttnLayer`` / ``SAM2Model._write_memory``.
+    """
 
     cfg: SAM2Config = SAM2Config.large()
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self) -> None:
+        cfg = self.cfg
+        e = cfg.embed_size
+        self._attn_layers = [
+            _MemAttnLayer(
+                d_model=cfg.d_model, mem_dim=cfg.mem_dim, num_heads=1,
+                grid=(e, e), dtype=self.dtype, name=f"layer{i}",
+            )
+            for i in range(cfg.memory_attention_layers)
+        ]
+        self.norm_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
+
+    def _input(self, feats, curr_pos):
+        b, e, _, d = feats.shape
+        return (
+            feats.reshape(b, e * e, d)
+            + 0.1 * curr_pos.reshape(curr_pos.shape[0], e * e, d)
+        ).astype(self.dtype)
+
     def __call__(
         self,
         feats: jnp.ndarray,  # (B, e, e, d) current slice features
@@ -233,19 +387,46 @@ class MemoryAttention(nn.Module):
         mem_mask: jnp.ndarray,  # (B, M) validity
         n_rope_k: int | None = None,  # spatial (RoPE'd) token count
     ) -> jnp.ndarray:
-        cfg = self.cfg
         b, e, _, d = feats.shape
-        x = (
-            feats.reshape(b, e * e, d)
-            + 0.1 * curr_pos.reshape(curr_pos.shape[0], e * e, d)
-        ).astype(self.dtype)
+        x = self._input(feats, curr_pos)
         if n_rope_k is None:
             n_rope_k = mem_tokens.shape[1]
-        for i in range(cfg.memory_attention_layers):
-            x = _MemAttnLayer(
-                d_model=d, mem_dim=cfg.mem_dim, num_heads=1, grid=(e, e),
-                dtype=self.dtype, name=f"layer{i}",
-            )(x, mem_tokens.astype(self.dtype), mem_pos.astype(self.dtype),
-              mem_mask, n_rope_k)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_out")(x)
+        for layer in self._attn_layers:
+            x = layer(
+                x, mem_tokens.astype(self.dtype), mem_pos.astype(self.dtype),
+                mem_mask, n_rope_k,
+            )
+        x = self.norm_out(x)
+        return x.reshape(b, e, e, d)
+
+    # ---- cached tracking path -------------------------------------------
+
+    def project_memory(self, mem: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, e², mem_dim) written slot → stacked per-layer caches
+        ``k/v (B, e², L·d)`` (layer l on channels ``[l·d, (l+1)·d)``)."""
+        ks, vs = zip(*(l.project_spatial(mem) for l in self._attn_layers))
+        return jnp.concatenate(ks, axis=-1), jnp.concatenate(vs, axis=-1)
+
+    def project_ptr(self, tok: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, ratio, mem_dim) pointer tokens → ``k/v (B, ratio, L·d)``."""
+        ks, vs = zip(*(l.project_ptr(tok) for l in self._attn_layers))
+        return jnp.concatenate(ks, axis=-1), jnp.concatenate(vs, axis=-1)
+
+    def cached(
+        self, feats, curr_pos, k_sp, v_sp, k_pt, v_pt, recency, tpos,
+        ptr_pe, mask,
+    ) -> jnp.ndarray:
+        """Memory-conditioned features from the per-slot k/v caches.
+        k_sp/v_sp: (B, M, e², L·d); k_pt/v_pt: (B, P, ratio, L·d);
+        recency (M,), tpos (num_maskmem, mem_dim), ptr_pe (P, mem_dim),
+        mask (B, M·e² + P·ratio)."""
+        b, e, _, d = feats.shape
+        x = self._input(feats, curr_pos)
+        for i, layer in enumerate(self._attn_layers):
+            sl = slice(i * d, (i + 1) * d)
+            x = layer.cached(
+                x, k_sp[..., sl], v_sp[..., sl], k_pt[..., sl], v_pt[..., sl],
+                recency, tpos, ptr_pe, mask,
+            )
+        x = self.norm_out(x)
         return x.reshape(b, e, e, d)

@@ -53,11 +53,31 @@ class MemoryBank:
     ptr_valid: jnp.ndarray  # (B, P) bool
     write_idx: jnp.ndarray  # () int32 — count of non-cond writes + 1
     cond_count: jnp.ndarray  # () int32 — count of cond writes
+    # per-slot cross-attention k/v caches for the memory-attention layers
+    # (SAM2Model.kv_cache; None on the uncached/training path): projected
+    # ONCE at write time instead of re-projecting all M·e² memory tokens
+    # per slice per layer — see memory._MemAttnLayer.cached
+    k_sp: jnp.ndarray | None = None  # (B, slots, e·e, L·d_model)
+    v_sp: jnp.ndarray | None = None
+    k_pt: jnp.ndarray | None = None  # (B, P, d_model//mem_dim, L·d_model)
+    v_pt: jnp.ndarray | None = None
 
     @classmethod
-    def empty(cls, b: int, cfg: SAM2Config, dtype=jnp.float32) -> "MemoryBank":
+    def empty(
+        cls, b: int, cfg: SAM2Config, dtype=jnp.float32, kv_cache: bool = False
+    ) -> "MemoryBank":
         e2 = cfg.embed_size * cfg.embed_size
         slots = cfg.max_cond_slices + cfg.num_maskmem - 1
+        caches: dict = {}
+        if kv_cache:
+            ld = cfg.memory_attention_layers * cfg.d_model
+            ratio = cfg.d_model // cfg.mem_dim
+            caches = dict(
+                k_sp=jnp.zeros((b, slots, e2, ld), dtype=dtype),
+                v_sp=jnp.zeros((b, slots, e2, ld), dtype=dtype),
+                k_pt=jnp.zeros((b, cfg.max_obj_ptrs, ratio, ld), dtype=dtype),
+                v_pt=jnp.zeros((b, cfg.max_obj_ptrs, ratio, ld), dtype=dtype),
+            )
         return cls(
             spatial=jnp.zeros((b, slots, e2, cfg.mem_dim), dtype=dtype),
             spatial_valid=jnp.zeros((b, slots), dtype=bool),
@@ -65,6 +85,7 @@ class MemoryBank:
             ptr_valid=jnp.zeros((b, cfg.max_obj_ptrs), dtype=bool),
             write_idx=jnp.asarray(1, dtype=jnp.int32),
             cond_count=jnp.asarray(0, dtype=jnp.int32),
+            **caches,
         )
 
 
@@ -85,6 +106,16 @@ class SAM2Model(nn.Module):
     # per-frame anyway (models/sam2.py:457-532), so this changes nothing
     # semantically.
     encoder_chunk: int = 64
+    # per-slot cross-attention k/v caching for the tracking scan (exact
+    # math — see memory._MemAttnLayer.cached). Default OFF — implemented
+    # and MEASURED FLAT on the real chip (BASELINE.md r5: 470 vs 485
+    # slices/s at depth 255, 137.5 vs 136.7 ms at depth 64): the
+    # per-layer cost is the (1024, 7232) attention traffic and the
+    # assembly passes, not the k/v projections the cache removes, and
+    # the caches add ~30 MB to the scan carry. Kept as a tested opt-in
+    # (test_tracking_kv_cache_matches_uncached) with the negative result
+    # documented, same policy as ops/fused_norm.py.
+    kv_cache: bool = False
 
     def setup(self) -> None:
         cfg = self.cfg
@@ -134,6 +165,42 @@ class SAM2Model(nn.Module):
         x = jnp.repeat(slices[..., None], 3, axis=-1)
         return self.image_encoder(x)
 
+    def _slot_recency(self, bank: MemoryBank) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Per-slot recency indices: spatial slots → ``maskmem_tpos_enc``
+        row (cond slots pin the conditioning index), pointer slots →
+        temporal distance (0 for cond). Pure index arithmetic on the
+        ring-buffer state."""
+        cfg = self.cfg
+        m = bank.spatial.shape[1]
+        mc = cfg.max_cond_slices
+        slot_ids = jnp.arange(m)
+        recency = jnp.where(
+            slot_ids < mc,
+            cfg.num_maskmem - 1,
+            jnp.mod(bank.write_idx - 1 - (slot_ids - mc + 1), cfg.num_maskmem - 1),
+        )
+        p = bank.obj_ptrs.shape[1]
+        pdist = jnp.where(
+            jnp.arange(p) < mc,
+            0,
+            1 + jnp.mod(bank.write_idx - 1 - (jnp.arange(p) - mc + 1),
+                        cfg.max_obj_ptrs - mc),
+        )
+        return recency, pdist
+
+    def _ptr_pe(self, pdist: jnp.ndarray, dtype) -> jnp.ndarray:
+        """(P,) pointer distances → (P, mem_dim) projected temporal sine
+        PE (sam2.1 ``add_tpos_enc_to_obj_ptrs``); zeros when disabled."""
+        from cryovit_tpu.models.sam2.memory import sine_pe_1d
+
+        cfg = self.cfg
+        if not cfg.add_tpos_enc_to_obj_ptrs:
+            return jnp.zeros((pdist.shape[0], cfg.mem_dim), dtype=dtype)
+        tdiff_max = max(cfg.max_obj_ptrs - 1, 1)
+        return self.obj_ptr_tpos_proj(
+            sine_pe_1d(pdist / tdiff_max, cfg.d_model)
+        ).astype(dtype)
+
     def _memory_tokens(
         self, bank: MemoryBank
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
@@ -151,21 +218,11 @@ class SAM2Model(nn.Module):
         absolute slice indices — a documented redesign, see MemoryBank).
         """
         from cryovit_tpu.models.sam2.encoder import sine_position_encoding
-        from cryovit_tpu.models.sam2.memory import sine_pe_1d
 
         cfg = self.cfg
         b, m, e2, md = bank.spatial.shape
-        mc = cfg.max_cond_slices
         e = cfg.embed_size
-        # recency of each slot: cond slots get the "conditioning" tpos
-        # index (num_maskmem-1); rolling slots ordered by distance from
-        # write_idx
-        slot_ids = jnp.arange(m)
-        recency = jnp.where(
-            slot_ids < mc,
-            cfg.num_maskmem - 1,
-            jnp.mod(bank.write_idx - 1 - (slot_ids - mc + 1), cfg.num_maskmem - 1),
-        )
+        recency, pdist = self._slot_recency(bank)
         tpos = self.maskmem_tpos_enc[recency].astype(
             bank.spatial.dtype
         )  # (m, mem_dim)
@@ -184,17 +241,7 @@ class SAM2Model(nn.Module):
         ptrs = bank.obj_ptrs.reshape(b, -1, cfg.mem_dim)
         ptr_mask = jnp.repeat(bank.ptr_valid, ratio, axis=1)
         if cfg.add_tpos_enc_to_obj_ptrs:
-            p = bank.obj_ptrs.shape[1]
-            pdist = jnp.where(
-                jnp.arange(p) < mc,
-                0,
-                1 + jnp.mod(bank.write_idx - 1 - (jnp.arange(p) - mc + 1),
-                            cfg.max_obj_ptrs - mc),
-            )
-            tdiff_max = max(cfg.max_obj_ptrs - 1, 1)
-            ptr_pe = self.obj_ptr_tpos_proj(
-                sine_pe_1d(pdist / tdiff_max, cfg.d_model)
-            )  # (P, mem_dim)
+            ptr_pe = self._ptr_pe(pdist, ptrs.dtype)  # (P, mem_dim)
             ptr_pos = jnp.repeat(ptr_pe, ratio, axis=0)[None]
             ptr_pos = jnp.broadcast_to(ptr_pos.astype(ptrs.dtype), ptrs.shape)
         else:
@@ -216,28 +263,73 @@ class SAM2Model(nn.Module):
         init cond frames skip memory attention entirely, ``track_step`` →
         ``_prepare_memory_conditioned_features``)."""
         has_memory = jnp.logical_and(jnp.any(bank.spatial_valid), use_memory)
-        tokens, mem_pos, mask, n_rope_k = self._memory_tokens(bank)
         # branch-free: with an all-masked bank the cross-attention reads
         # zeros, so the with-memory path is computed unconditionally and the
         # no-mem slices select the learned embedding instead
-        conditioned = self.memory_attention(
-            feats, pos, tokens, mem_pos, mask, n_rope_k
-        )
+        if bank.k_sp is not None:
+            # cached path (kv_cache): per-slot k/v come from the bank's
+            # write-time projections; only recency indices, the pointer
+            # PE, and the validity mask are rebuilt per slice
+            e2 = bank.spatial.shape[2]
+            ratio = self.cfg.d_model // self.cfg.mem_dim
+            recency, pdist = self._slot_recency(bank)
+            ptr_pe = self._ptr_pe(pdist, bank.k_sp.dtype)
+            mask = jnp.concatenate(
+                [
+                    jnp.repeat(bank.spatial_valid, e2, axis=1),
+                    jnp.repeat(bank.ptr_valid, ratio, axis=1),
+                ],
+                axis=1,
+            )
+            conditioned = self.memory_attention.cached(
+                feats, pos, bank.k_sp, bank.v_sp, bank.k_pt, bank.v_pt,
+                recency, self.maskmem_tpos_enc, ptr_pe, mask,
+            )
+        else:
+            tokens, mem_pos, mask, n_rope_k = self._memory_tokens(bank)
+            conditioned = self.memory_attention(
+                feats, pos, tokens, mem_pos, mask, n_rope_k
+            )
         no_mem = feats + self.no_mem_embed.reshape(1, 1, 1, -1).astype(
             feats.dtype
         )
         return jnp.where(has_memory, conditioned, no_mem)
 
+    def _encode_prompts(self, boxes, prompts):
+        """Batch the prompt-side work over ALL slices before the scan
+        (r5: the prompt encoder's mask-downscaling convs and the
+        antialiased prompt resize depend only on the up-front
+        PromptPredictor outputs — running them per slice inside the scan
+        paid their lane-hostile shapes and dispatch floors D times).
+
+        boxes (B, D, 4) in [0,1]; prompts (B, D, S, S) mask-prompt logits
+        → (sparse (B, D, 3, d), dense (B, D, e, e, d))."""
+        cfg = self.cfg
+        b, d = boxes.shape[:2]
+        s = cfg.mask_input_size
+        mp = jax.image.resize(
+            prompts.reshape(b * d, *prompts.shape[2:])[..., None],
+            (b * d, s, s, 1), method="linear", antialias=True,
+        )
+        sparse, dense = self.prompt_encoder(
+            boxes.reshape(b * d, 4) * cfg.image_size, mp
+        )
+        return (
+            sparse.reshape(b, d, *sparse.shape[1:]),
+            dense.reshape(b, d, *dense.shape[1:]),
+        )
+
     def _sam_heads(
         self,
         pix_feat: jnp.ndarray,
-        boxes: jnp.ndarray,
-        mask_prompt: jnp.ndarray,
+        sparse: jnp.ndarray,
+        dense: jnp.ndarray,
         high_res_feats: tuple[jnp.ndarray, jnp.ndarray],
         multimask: jnp.ndarray,
     ):
-        """Prompt encode + mask decode + selection/gating
-        (reference ``_forward_sam_heads``, ``models/sam2.py:670-796``).
+        """Mask decode + selection/gating on pre-encoded prompts
+        (reference ``_forward_sam_heads``, ``models/sam2.py:670-796``;
+        prompt encoding is batched outside the scan, ``_encode_prompts``).
 
         ``multimask`` is a traced bool (cond slice → True): both the
         multimask-max and single-mask selections are computed and chosen
@@ -245,13 +337,6 @@ class SAM2Model(nn.Module):
         """
         cfg = self.cfg
         b = pix_feat.shape[0]
-        # dense prompt downsampled to the prompt-encoder input size
-        s = cfg.mask_input_size
-        mp = jax.image.resize(
-            mask_prompt, (b, s, s, 1), method="linear", antialias=True
-        )
-        boxes_px = boxes * cfg.image_size
-        sparse, dense = self.prompt_encoder(boxes_px, mp)
         masks, ious, mask_tokens_out, obj_score = self.mask_decoder(
             pix_feat,
             self.prompt_encoder.dense_pe(),
@@ -325,6 +410,30 @@ class SAM2Model(nn.Module):
         ptrs = jax.lax.dynamic_update_index_in_dim(bank.obj_ptrs, obj_ptr, pslot, 1)
         pvalid = bank.ptr_valid.at[:, pslot].set(True)
         inc = jnp.where(is_cond, 0, 1).astype(bank.write_idx.dtype)
+        caches: dict = {}
+        if bank.k_sp is not None:
+            # project the ONE written slot through every memory-attention
+            # layer's cross k/v (memory.MemoryAttention.project_memory) —
+            # the per-slice cross-attention then reads these caches
+            # instead of re-projecting the whole bank (exact by linearity)
+            dt = bank.k_sp.dtype
+            k_new, v_new = self.memory_attention.project_memory(mem)
+            ptr_tok = obj_ptr.reshape(b, -1, cfg.mem_dim)
+            kp_new, vp_new = self.memory_attention.project_ptr(ptr_tok)
+            caches = dict(
+                k_sp=jax.lax.dynamic_update_index_in_dim(
+                    bank.k_sp, k_new.astype(dt), slot, 1
+                ),
+                v_sp=jax.lax.dynamic_update_index_in_dim(
+                    bank.v_sp, v_new.astype(dt), slot, 1
+                ),
+                k_pt=jax.lax.dynamic_update_index_in_dim(
+                    bank.k_pt, kp_new.astype(dt), pslot, 1
+                ),
+                v_pt=jax.lax.dynamic_update_index_in_dim(
+                    bank.v_pt, vp_new.astype(dt), pslot, 1
+                ),
+            )
         return MemoryBank(
             spatial,
             valid,
@@ -332,19 +441,20 @@ class SAM2Model(nn.Module):
             pvalid,
             bank.write_idx + inc,
             bank.cond_count + (1 - inc),
+            **caches,
         )
 
     def _slice_step(self, bank: MemoryBank, xs):
         """One tracking step (scanned over slices in processing order —
         conditioning slices first, reference ``forward_tracking``)."""
-        idx, is_cond, feat2, p2, s0i, s1i, box, prompt = xs
+        idx, is_cond, feat2, p2, s0i, s1i, sparse, dense = xs
         # cond slices skip memory conditioning (no-mem embedding) and use
         # multimask outputs; tracked slices attend to the bank, single-mask
         pix = self._condition_features(
             feat2, p2, bank, use_memory=jnp.logical_not(is_cond)
         )
         low_res, high_res, obj_ptr = self._sam_heads(
-            pix, box, prompt[..., None], (s0i, s1i), is_cond
+            pix, sparse, dense, (s0i, s1i), is_cond
         )
         # sam2 encodes the RAW backbone features into memory, not the
         # memory-conditioned ones (_encode_new_memory(current_vision_feats))
@@ -419,6 +529,8 @@ class SAM2Model(nn.Module):
         boxes, prompts = self.prompt_predictor(s0)  # (B·D, 4), (B·D, 4h0, 4w0, 1)
         boxes = boxes.reshape(b, d, 4)
         prompts = prompts.reshape(b, d, s, s)
+        # prompt-side work batched over all slices (see _encode_prompts)
+        sparse, dense = self._encode_prompts(boxes, prompts)
 
         def sel(x):  # (B, D, ...) → (D, B, ...) in processing order
             return jnp.take(jnp.moveaxis(x, 0, 1), order, axis=0)
@@ -430,10 +542,10 @@ class SAM2Model(nn.Module):
             sel(pos2),
             sel(s0),
             sel(s1),
-            sel(boxes),
-            sel(prompts),
+            sel(sparse),
+            sel(dense),
         )
-        bank = MemoryBank.empty(b, cfg, dtype=self.dtype)
+        bank = MemoryBank.empty(b, cfg, dtype=self.dtype, kv_cache=self.kv_cache)
         # lifted scan: params broadcast across slices, memory bank carried
         scan = nn.scan(
             type(self)._slice_step,

@@ -111,19 +111,21 @@ def _best_block(n: int, lo: int = 256, hi: int = 1088) -> int:
     return best
 
 
-def _pick_q_chunks(bq: int, ch_cap: int) -> int:
+def _pick_q_chunks(bq: int, ch_cap: int, chq: int = 16) -> int:
     """Number of q-row chunks for the pipelined single-K-block kernel:
-    the fewest chunks whose (16-aligned) chunk height fits ``ch_cap`` —
-    i.e. the largest chunk that keeps the f32 score tile in its VMEM
-    budget while leaving enough chains to software-pipeline."""
-    for c in range(1, bq // 16 + 1):
-        if bq % c == 0 and (bq // c) % 16 == 0 and bq // c <= ch_cap:
+    the fewest chunks whose (``chq``-aligned) chunk height fits
+    ``ch_cap`` — i.e. the largest chunk that keeps the f32 score tile in
+    its VMEM budget while leaving enough chains to software-pipeline.
+    ``chq`` is 16 (bf16 sublane tile) normally, 32 under int8 quant
+    (int8 tiles are 32 sublanes)."""
+    for c in range(1, bq // chq + 1):
+        if bq % c == 0 and (bq // c) % chq == 0 and bq // c <= ch_cap:
             return c
     return 1
 
 
 def _best_block_chunked(
-    n: int, ch_cap: int, lo: int = 256, hi: int = 1088
+    n: int, ch_cap: int, lo: int = 256, hi: int = 1088, chq: int = 16
 ) -> tuple[int, int]:
     """Joint (block_q, q_chunks) choice for the chunked single-K-block
     kernel: minimize round-up waste of ``n``, then prefer the largest
@@ -135,13 +137,13 @@ def _best_block_chunked(
     Chunks below 128 rows are considered only when no block offers a
     bigger one: saving a few padded rows never pays for tripling the
     per-chain op count."""
-    best_key, best = None, (min(_round_up(n, 16), hi), 1)
-    for ch_min in (min(128, ch_cap), 16):
-        for bq in range(lo, hi + 1, 16):
+    best_key, best = None, (min(_round_up(n, chq), hi), 1)
+    for ch_min in (min(_round_up(128, chq), ch_cap), chq):
+        for bq in range(lo, hi + 1, chq):
             waste = _round_up(n, bq) - n
-            for c in range(1, bq // 16 + 1):
+            for c in range(1, bq // chq + 1):
                 ch = bq // c
-                if bq % c == 0 and ch % 16 == 0 and ch_min <= ch <= ch_cap:
+                if bq % c == 0 and ch % chq == 0 and ch_min <= ch <= ch_cap:
                     key = (waste, -ch, -bq)
                     if best_key is None or key < best_key:
                         best_key, best = key, (bq, c)
@@ -237,6 +239,7 @@ def _flash_kernel_paired(
     softmax_shift: bool = True,
     ablate: str = "",
     channel_major: bool = False,
+    quant: str = "",
 ):
     """Flash kernel over PAIR-PACKED planes: the block minor dim holds two
     64-wide heads side by side (lane dim 128 → full-width VMEM tiles and
@@ -380,6 +383,42 @@ def _flash_kernel_paired(
             K_H.append([kbp[:, :d], kbp[:, d:]])
             V_A.append([make_vaug(vbp, h, padm) for h in (0, 1)])
 
+        # int8 attention internals (``--int8`` 4k-token mode): operands
+        # quantized IN VMEM (no extra HBM passes — the thing that made
+        # int8 a wash for out-proj/w3). K/V quantize once per program
+        # (hoisted out of the chain loop): K per-head per-tensor, the
+        # ones-augmented V per-COLUMN so the denominator lane's scale is
+        # exactly 1/127 (its int8 value is exactly 127) and dequant is a
+        # per-lane multiply on the PV output tile.
+        if "qk" in quant:
+            K_I, SK = [], []
+            for plx in range(n_planes):
+                kis, sks = [], []
+                for h in (0, 1):
+                    kf = K_H[plx][h].astype(jnp.float32)
+                    sk = jnp.max(jnp.abs(kf)) * (1.0 / 127.0)
+                    kis.append(
+                        jnp.round(kf * (1.0 / jnp.maximum(sk, 1e-20)))
+                        .astype(jnp.int8)
+                    )
+                    sks.append(sk)
+                K_I.append(kis)
+                SK.append(sks)
+        if "pv" in quant:
+            V_I, SV = [], []
+            for plx in range(n_planes):
+                vis, svs = [], []
+                for h in (0, 1):
+                    vf = V_A[plx][h].astype(jnp.float32)
+                    sv = jnp.max(jnp.abs(vf), axis=0) * (1.0 / 127.0)
+                    vis.append(
+                        jnp.round(vf * (1.0 / jnp.maximum(sv, 1e-20)))
+                        .astype(jnp.int8)
+                    )
+                    svs.append(sv)
+                V_I.append(vis)
+                SV.append(svs)
+
         ch = block_q // q_chunks
         chains = [
             (plx, i, h)
@@ -402,6 +441,19 @@ def _flash_kernel_paired(
                     (qs.shape[0], K_H[plx][h].shape[0]),
                     (0, 1),
                 )
+                return
+            if "qk" in quant:
+                qf = qs.astype(jnp.float32)
+                sq = jnp.max(jnp.abs(qf)) * (1.0 / 127.0)
+                qi = jnp.round(qf * (1.0 / jnp.maximum(sq, 1e-20))).astype(
+                    jnp.int8
+                )
+                s_i = jax.lax.dot_general(
+                    qi, K_I[plx][h], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                s = s_i.astype(jnp.float32) * (sq * SK[plx][h])
+                S[c] = s if scale == 1.0 else s * scale
                 return
             s = jax.lax.dot_general(
                 qs, K_H[plx][h], (((1,), (1,)), ((), ())),
@@ -430,6 +482,19 @@ def _flash_kernel_paired(
                 # matmul — prod − cheappv ≈ the PV matmul's marginal cost
                 L[c] = jnp.sum(p.astype(jnp.float32), axis=-1)
                 O[c] = p[:, :d].astype(jnp.float32) + L[c][:, None]
+                return
+            if "pv" in quant:
+                # p ∈ (0, 1] (softmax_shift forced on under quant): the
+                # probability scale is the constant 1/127
+                pi = jnp.round(p.astype(jnp.float32) * 127.0).astype(jnp.int8)
+                out_i = jax.lax.dot_general(
+                    pi, V_I[plx][h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                out = out_i.astype(jnp.float32) * (
+                    SV[plx][h][None, :] * (1.0 / 127.0)
+                )
+                O[c], L[c] = out[:, :d], out[:, d]
                 return
             O[c], L[c] = pv_aug(p, V_A[plx][h])
 
@@ -507,16 +572,17 @@ def _flash_kernel_paired(
     o_ref[0] = (acc * inv).astype(o_ref.dtype)
 
 
-def _auto_blocks(n: int) -> tuple[int, int, int]:
+def _auto_blocks(n: int, chq: int = 16) -> tuple[int, int, int]:
     """The wrapper's auto (block_q, block_k, q_chunks) choice for ``n``
-    tokens — exposed so callers can query it (see :func:`preferred_len`)."""
-    nk_full = _round_up(n, 16)
-    ch_cap = max(16, min(320, (4_500_000 // (nk_full * 6)) // 16 * 16))
+    tokens — exposed so callers can query it (see :func:`preferred_len`).
+    ``chq`` = 32 under int8 quant (int8 sublane tile)."""
+    nk_full = _round_up(n, chq)
+    ch_cap = max(chq, min(320, (4_500_000 // (nk_full * 6)) // chq * chq))
     if n <= 1280:
-        bq, bk = _round_up(n, 16), nk_full
-        qc = _pick_q_chunks(bq, ch_cap)
+        bq, bk = _round_up(n, chq), nk_full
+        qc = _pick_q_chunks(bq, ch_cap, chq)
     elif ch_cap >= 128:
-        bq, qc = _best_block_chunked(n, ch_cap)
+        bq, qc = _best_block_chunked(n, ch_cap, chq=chq)
         bk = nk_full
     else:
         bq, bk = _best_block(n), _best_block(n)
@@ -524,7 +590,7 @@ def _auto_blocks(n: int) -> tuple[int, int, int]:
     return bq, bk, qc
 
 
-def preferred_len(n: int) -> int:
+def preferred_len(n: int, quant: bool = False) -> int:
     """Token length the auto-chosen kernel grid actually processes
     (``n`` rounded up to the query-block quantum). Callers that pad
     their token axis to THIS length before the qkv projection make the
@@ -532,7 +598,7 @@ def preferred_len(n: int) -> int:
     (fused, near-free) instead of a materialized pad of the matmul
     output at the pallas boundary (measured 24 ms/step at 4101 tokens:
     40 blocks × a (16, 4160, 1536) bf16 write)."""
-    bq, _, _ = _auto_blocks(n)
+    bq, _, _ = _auto_blocks(n, chq=32 if quant else 16)
     return _round_up(n, bq)
 
 
@@ -541,7 +607,7 @@ def preferred_len(n: int) -> int:
     static_argnames=(
         "block_q", "block_k", "interpret", "pre_scaled", "exp2_bf16",
         "true_len", "q_chunks", "softmax_shift", "ablate", "planes_per_block",
-        "channel_major", "plane_width",
+        "channel_major", "plane_width", "quant",
     ),
 )
 def flash_attention_pairs(
@@ -561,6 +627,7 @@ def flash_attention_pairs(
     planes_per_block: int = 1,
     channel_major: bool = False,
     plane_width: int = 128,
+    quant: str = "",
 ) -> jnp.ndarray:
     """Flash attention on pair-packed ``(B, H/2, N, 2·D)`` planes → same
     layout. Plane ``g`` holds heads ``2g`` (lanes ``0:D``) and ``2g+1``
@@ -602,31 +669,41 @@ def flash_attention_pairs(
     # 1029→1040 instead of 1152 trims ~10% of kernel + projection work.
     # For longer sequences pick the block size minimizing round-up waste
     # (e.g. 4101 tokens: 1040-blocks pad 1.4% where 512-blocks pad 12%).
-    nk_full = _round_up(n, 16)
+    # int8 quant raises the quantum to 32 (int8 sublane tile).
+    if quant and "pv" in quant:
+        # quantized probabilities need p ∈ (0, 1]: reinstate the row-max
+        # shift (its VPU passes are hidden under the MXU — r3 noexp data)
+        softmax_shift = True
+    chq = 32 if quant else 16
+    nk_full = _round_up(n, chq)
     # VMEM cap on the per-chunk tiles (inside _auto_blocks): the pipeline
     # keeps the NEXT chunk's f32 score tile live alongside the current
     # bf16 numerator (~10B/elem), plus fixed K/V/bias buffers — so the
     # budget is deliberately conservative (the 4112-token path measured
     # 25MB scoped VMEM against the 16MB limit with a looser cap)
-    ch_cap = max(16, min(320, (4_500_000 // (nk_full * 6)) // 16 * 16))
+    ch_cap = max(chq, min(320, (4_500_000 // (nk_full * 6)) // chq * chq))
     if block_q is None or block_k is None:
         # prefer a single K block (static fast path, no online-softmax
         # correction state) whenever a ≥128-row chunk fits the budget
-        bq_auto, bk_auto, qc_auto = _auto_blocks(n)
+        bq_auto, bk_auto, qc_auto = _auto_blocks(n, chq=chq)
         if block_q is None:
             block_q = bq_auto
             if q_chunks is None:
                 q_chunks = qc_auto
         if block_k is None:
             block_k = bk_auto
-    block_q = min(block_q, _round_up(n, 16))
-    block_k = min(block_k, _round_up(n, 16))
+    block_q = min(block_q, _round_up(n, chq))
+    block_k = min(block_k, _round_up(n, chq))
     if q_chunks is None:
-        q_chunks = _pick_q_chunks(block_q, ch_cap)
-    if block_q % q_chunks or (block_q // q_chunks) % 16:
+        q_chunks = _pick_q_chunks(block_q, ch_cap, chq)
+    if block_q % q_chunks or (block_q // q_chunks) % chq:
         raise ValueError(
             f"q_chunks={q_chunks} must divide block_q={block_q} into "
-            "16-aligned chunks"
+            f"{chq}-aligned chunks"
+        )
+    if quant and _round_up(n, block_k) != block_k:
+        raise NotImplementedError(
+            "int8 attention internals support the single-K-block path only"
         )
     nq = _round_up(n, block_q)
     nk = _round_up(n, block_k)
@@ -664,6 +741,7 @@ def flash_attention_pairs(
         softmax_shift=softmax_shift,
         ablate=ablate,
         channel_major=channel_major,
+        quant=quant,
     )
     if channel_major:
         # grid dims: (batch, plane group, q block) — q blocks iterate

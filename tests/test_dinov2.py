@@ -656,3 +656,37 @@ def test_dinov2_fused_ln_path_matches_plain(rng):
         np.asarray(scan_ref.apply(v_scan, x)),
         atol=1e-4,
     )
+
+
+def test_flash_attention_pairs_int8_internals(rng):
+    """The opt-in int8 attention internals (``quant="pv"/"qkpv"`` —
+    in-VMEM quantized score/PV operands, per-column V scales with the
+    ones/denominator lane exact at 1/127) stay within int8 fidelity of
+    the bf16 kernel. MEASURED SLOWER on the real chip (BASELINE.md r5:
+    the d=64 dots are pass-priced, int8 cannot cut passes) — kept as a
+    tested opt-in documenting the closed conjecture."""
+    from cryovit_tpu.ops.flash_attention import LOG2E, flash_attention_pairs
+
+    b, n, g, d = 2, 520, 2, 64
+    c = g * 2 * d
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, n, c)) * 0.5, jnp.bfloat16
+    )
+    q, k, v = mk(), mk(), mk()
+    qs = (q.astype(jnp.float32) * (d**-0.5 * LOG2E)).astype(jnp.bfloat16)
+    kw = dict(
+        pre_scaled=True, exp2_bf16=True, channel_major=True,
+        interpret=True, true_len=515,
+    )
+    ref = np.asarray(
+        flash_attention_pairs(qs, k, v, **kw)[:, :515], np.float64
+    ).ravel()
+    for quant in ("pv", "qkpv"):
+        out = np.asarray(
+            flash_attention_pairs(qs, k, v, quant=quant, **kw)[:, :515],
+            np.float64,
+        ).ravel()
+        cos = ref @ out / (np.linalg.norm(ref) * np.linalg.norm(out) + 1e-12)
+        rel = np.linalg.norm(ref - out) / (np.linalg.norm(ref) + 1e-12)
+        assert cos > 0.9998, (quant, cos)
+        assert rel < 0.03, (quant, rel)

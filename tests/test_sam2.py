@@ -334,8 +334,11 @@ def test_tracking_scan_matches_python_oracle(rng):
                 pix = mdl.memory_attention(
                     feat2, p2, tokens, pos_toks, mask, n_rope_k
                 )
+            sp_i, de_i = mdl._encode_prompts(
+                boxes[:, i][:, None], prompts[:, i][:, None]
+            )
             low, high, optr = mdl._sam_heads(
-                pix, boxes[:, i], prompts[:, i][..., None],
+                pix, sp_i[:, 0], de_i[:, 0],
                 (s0[:, i], s1[:, i]), is_cond,
             )
             mask_for_mem = (
@@ -755,3 +758,28 @@ def test_hiera_global_kernel_attention_matches_xla(rng):
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert cos > 0.9999, cos
         assert np.abs(a - b).max() < 0.1, np.abs(a - b).max()
+
+
+def test_tracking_kv_cache_matches_uncached(rng):
+    """The opt-in per-slot k/v cache for the tracking scan
+    (SAM2Model(kv_cache=True), memory._MemAttnLayer.cached) is exact
+    math — linearity of the cross k/v projections and of RoPE — so the
+    cached and uncached programs must agree. (Measured FLAT on the real
+    chip, BASELINE.md r5 — kept as a tested opt-in.)"""
+    import dataclasses
+
+    cfg = dataclasses.replace(SAM2Config.tiny_test(), max_cond_slices=2)
+    s = cfg.image_size
+    d = 6
+    slices = jnp.asarray(rng.random((1, d, s, s)), dtype=jnp.float32)
+    base = SAM2Model(cfg=cfg, lora_rank=4, lora_alpha=4.0)
+    variables = base.init(jax.random.key(0), slices)
+    order = jnp.asarray([0, 3, 1, 2, 4, 5])
+    num_cond = jnp.asarray(2)
+    out_plain = base.apply(variables, slices, order=order, num_cond=num_cond)
+    cached = SAM2Model(cfg=cfg, lora_rank=4, lora_alpha=4.0, kv_cache=True)
+    out_cached = cached.apply(variables, slices, order=order, num_cond=num_cond)
+    np.testing.assert_allclose(
+        np.asarray(out_plain["preds"]), np.asarray(out_cached["preds"]),
+        atol=1e-4,
+    )

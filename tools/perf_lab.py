@@ -137,6 +137,21 @@ def main():
         "pairs_noshift_noqk": lambda: pairs_module(
             functools.partial(fa, softmax_shift=False, ablate="noqk")
         ),
+        # r5: int8 attention internals (BASELINE 1024² ceiling: the only
+        # lever left at d=64 is narrower score/PV operands)
+        "pairs_int8pv": lambda: pairs_module(functools.partial(fa, quant="pv")),
+        "pairs_int8qk": lambda: pairs_module(functools.partial(fa, quant="qk")),
+        "pairs_int8qkpv": lambda: pairs_module(
+            functools.partial(fa, quant="qkpv")
+        ),
+        # block-choice control: same 832-row blocks as the production
+        # bf16 path (ch 64, the largest 32-aligned chunk dividing 832)
+        "pairs_int8pv_bq832": lambda: pairs_module(
+            functools.partial(fa, quant="pv", block_q=832, q_chunks=13)
+        ),
+        "pairs_shift_ctl": lambda: pairs_module(
+            functools.partial(fa, softmax_shift=True)
+        ),
     }
     want = sys.argv[1:] or list(variants)
     for name in want:

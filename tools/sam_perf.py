@@ -80,6 +80,7 @@ def time_train_step(cached: bool, depth: int = 8):
         "train_model", ["model=sam2", "datamodule=single", "label_key=mito"]
     )
     model = build_model(cfg, "bf16")
+    model.train_mode = True  # the train forward (kv_cache off)
     s = model_img = 512
     rng = np.random.default_rng(0)
     data = jnp.asarray(

@@ -46,7 +46,7 @@ class _NoMemAttn(SAM2Model):
 
 
 class _NoHeads(SAM2Model):
-    def _sam_heads(self, pix_feat, boxes, mask_prompt, high_res_feats, multimask):
+    def _sam_heads(self, pix_feat, sparse, dense, high_res_feats, multimask):
         cfg = self.cfg
         b = pix_feat.shape[0]
         e4 = cfg.embed_size * 4
@@ -62,6 +62,52 @@ class _NoHeads(SAM2Model):
 class _NoMemEnc(SAM2Model):
     def _write_memory(self, bank, pix_feat, high_res_mask, obj_ptr, is_cond):
         return bank
+
+
+class _CheapMemEnc(SAM2Model):
+    """Keep the bank DYNAMICS (writes happen, nothing hoists) but replace
+    the MemoryEncoder NN — the MaskDownSampler's 1→4→16-channel convs at
+    512² are lane-hostile — with a cheap shape-preserving stand-in.
+    full − cheapmemenc isolates the encoder NN from the hoisting effect
+    that contaminates the nomemenc reading."""
+
+    def _write_memory(self, bank, pix_feat, high_res_mask, obj_ptr, is_cond):
+        cfg = self.cfg
+        b, e, _, _ = pix_feat.shape
+        seed = jnp.mean(high_res_mask, dtype=jnp.float32).astype(pix_feat.dtype)
+        mem = pix_feat[..., : cfg.mem_dim] + seed
+        # inline the production write path with the stub encoder output
+        import jax as _jax
+
+        mc = cfg.max_cond_slices
+        memf = mem.reshape(b, -1, cfg.mem_dim)
+        is_cond = jnp.asarray(is_cond)
+        cond_slot = jnp.minimum(bank.cond_count, mc - 1)
+        roll_slot = mc + jnp.mod(bank.write_idx - 1, cfg.num_maskmem - 1)
+        slot = jnp.where(is_cond, cond_slot, roll_slot)
+        roll_pslot = mc + jnp.mod(bank.write_idx - 1, cfg.max_obj_ptrs - mc)
+        pslot = jnp.where(is_cond, cond_slot, roll_pslot)
+        spatial = _jax.lax.dynamic_update_index_in_dim(bank.spatial, memf, slot, 1)
+        valid = bank.spatial_valid.at[:, slot].set(True)
+        ptrs = _jax.lax.dynamic_update_index_in_dim(bank.obj_ptrs, obj_ptr, pslot, 1)
+        pvalid = bank.ptr_valid.at[:, pslot].set(True)
+        inc = jnp.where(is_cond, 0, 1).astype(bank.write_idx.dtype)
+        caches = {}
+        if bank.k_sp is not None:
+            dt = bank.k_sp.dtype
+            k_new, v_new = self.memory_attention.project_memory(memf)
+            ptr_tok = obj_ptr.reshape(b, -1, cfg.mem_dim)
+            kp_new, vp_new = self.memory_attention.project_ptr(ptr_tok)
+            caches = dict(
+                k_sp=_jax.lax.dynamic_update_index_in_dim(bank.k_sp, k_new.astype(dt), slot, 1),
+                v_sp=_jax.lax.dynamic_update_index_in_dim(bank.v_sp, v_new.astype(dt), slot, 1),
+                k_pt=_jax.lax.dynamic_update_index_in_dim(bank.k_pt, kp_new.astype(dt), pslot, 1),
+                v_pt=_jax.lax.dynamic_update_index_in_dim(bank.v_pt, vp_new.astype(dt), pslot, 1),
+            )
+        from cryovit_tpu.models.sam2.model import MemoryBank
+        return MemoryBank(spatial, valid, ptrs, pvalid,
+                          bank.write_idx + inc, bank.cond_count + (1 - inc),
+                          **caches)
 
 
 class _EmptyBody(SAM2Model):
@@ -82,6 +128,7 @@ VARIANTS = {
     "smallbank": (SAM2Model, {"num_maskmem": 2, "max_obj_ptrs": 4}),
     "noheads": (_NoHeads, {}),
     "nomemenc": (_NoMemEnc, {}),
+    "cheapmemenc": (_CheapMemEnc, {}),
     "empty": (_EmptyBody, {}),
 }
 
