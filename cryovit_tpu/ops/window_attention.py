@@ -298,6 +298,16 @@ def window_block_mlp(
     )(x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
+# ---------------------------------------------------------------------------
+# Standalone per-(window, head) attention kernel: the production path for
+# Hiera's GLOBAL 1024-token blocks (hiera.MultiScaleAttention.
+# _global_kernel_attention packs the projections head-padded and calls
+# this with N=batch, T=tokens), and the interpret-mode probe pair for the
+# fused block kernels above (tests/test_sam2.py::
+# test_window_attention_matches_reference).
+# ---------------------------------------------------------------------------
+
+
 def _wk_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim: int):
     qs = q_ref[0]  # (T, 128) bf16, pre-scaled by d^-1/2 · log2(e)
     ks = k_ref[0]
