@@ -89,7 +89,7 @@ def _section(name):
 # ---------------------------------------------------------------------------
 
 
-def _dino_extraction(jnp, np, quant_int8: bool) -> float:
+def _dino_extraction(jnp, quant_int8: bool) -> float:
     """Jit-compiled extraction pipeline (bicubic 14/16 resize + folded
     single-channel patch embed + 40-block ViT-g with Pallas flash attention
     + fp16 cast) on 512×512 slices — the reference's hot loop
@@ -150,14 +150,16 @@ def _dino_extraction(jnp, np, quant_int8: bool) -> float:
         dt = timed_run()
         per_chip = batch * n_batches / dt / max(n_chips, 1)
     if "--all" in sys.argv and not quant_int8:
+        import numpy as np
+
         extractor.batch_size = 16
         _extra_shapes(extractor, jnp, np)
     return per_chip
 
 
 @_section("dinov2_int8")
-def _dino_int8_section(jnp, np) -> None:
-    per_chip = _dino_extraction(jnp, np, quant_int8=True)
+def _dino_int8_section(jnp) -> None:
+    per_chip = _dino_extraction(jnp, quant_int8=True)
     _emit(
         "dinov2_vitg14_extraction_throughput_int8",
         per_chip,
@@ -172,7 +174,7 @@ def _dino_int8_section(jnp, np) -> None:
 
 
 @_section("sam2_extraction")
-def _sam_extraction_section(jnp, np, quant_int8: bool) -> None:
+def _sam_extraction_section(jnp, quant_int8: bool) -> None:
     from cryovit_tpu.run.sam_features import (
         SamFeatureExtractor,
         make_sam_encoder_variables,
@@ -296,7 +298,7 @@ def _tracking_section(jnp, cached: bool) -> None:
 
 
 @_section("train_step")
-def _train_step_section(jnp, np, kind: str) -> None:
+def _train_step_section(jnp, kind: str) -> None:
     """One full jitted train step (fwd + bwd + AdamW update, bf16 compute,
     masked dice loss) at the reference recipe's crop sizes."""
     import jax
@@ -425,7 +427,7 @@ def main() -> None:
 
     # headline metric first: even if a later section dies, the driver's
     # historical metric is already on stdout
-    per_chip = _dino_extraction(jnp, np, quant_int8="--int8" in sys.argv)
+    per_chip = _dino_extraction(jnp, quant_int8="--int8" in sys.argv)
     _emit(
         "dinov2_vitg14_extraction_throughput"
         + ("_int8" if "--int8" in sys.argv else ""),
@@ -437,13 +439,13 @@ def main() -> None:
         return
     gc.collect()
     if "--int8" not in sys.argv:
-        _dino_int8_section(jnp, np)
-    _sam_extraction_section(jnp, np, quant_int8=False)
-    _sam_extraction_section(jnp, np, quant_int8=True)
+        _dino_int8_section(jnp)
+    _sam_extraction_section(jnp, quant_int8=False)
+    _sam_extraction_section(jnp, quant_int8=True)
     _tracking_section(jnp, cached=True)
     _tracking_section(jnp, cached=False)
-    _train_step_section(jnp, np, "cryovit")
-    _train_step_section(jnp, np, "unet3d")
+    _train_step_section(jnp, "cryovit")
+    _train_step_section(jnp, "unet3d")
 
 
 if __name__ == "__main__":
